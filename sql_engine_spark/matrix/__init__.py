@@ -1,0 +1,71 @@
+"""The oracle-checked query matrix (driver contract, SURVEY.md §5.2).
+
+Every implemented operator from SURVEY.md §2 appears here as a named
+query: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) the equivalent ANSI SQL the DuckDB oracle runs on the
+same parquet. Registration happens at import time via the ``@query``
+decorator in the ``core`` (Tier E/G) and ``ext`` (Tier X + streaming)
+modules.
+
+Cross-engine exactness rules used throughout (why results hash-match):
+
+- Money/quantity aggregates go through exact integer cents
+  (functions/money.py): integer sums are order-independent, so Spark's
+  parallel partial aggregation and DuckDB's sequential scan produce the
+  same bits. SQL shape helpers below mirror the Spark expressions
+  token for token.
+- Count-ish outputs are cast to BIGINT on both sides (Spark ``size``/
+  ``length``/``row_number`` return int32; DuckDB returns int64).
+- Timestamps are rendered as ``yyyy-MM-dd[ HH:mm:ss]`` strings on both
+  sides (no tz/typing ambiguity; session tz is UTC).
+- Floating-point folds (dot products, rolling hashes) are explicit
+  left-to-right ``F.aggregate`` folds mirrored by DuckDB
+  ``list_reduce(list_prepend(zero, ...))``.
+- Every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a matrix entry; ``oracle=None`` marks a non-SQL-
+    expressible op (driver falls back to a rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- oracle SQL shape helpers (mirror functions/money.py exactly) ----
+
+def sql_cents(x: str, scale: int = 100) -> str:
+    return f"CAST(ROUND({x}*{scale}) AS BIGINT)"
+
+
+def sql_sum_dollars(x: str, scale: int = 100) -> str:
+    """Mirrors from_cents(F.sum(cents(x)))."""
+    return f"CAST(SUM({sql_cents(x, scale)}) AS DOUBLE)/{float(scale)}"
+
+
+def sql_avg_dollars(x: str, count_expr: str = "COUNT(*)", scale: int = 100) -> str:
+    """Mirrors from_cents(F.sum(cents(x))) / F.count(...)."""
+    return f"{sql_sum_dollars(x, scale)}/{count_expr}"
+
+
+def _register_all() -> None:
+    # Importing the submodules populates QUERIES/ORACLE.
+    from sql_engine_spark.matrix import core, ext  # noqa: F401
+
+
+_register_all()

@@ -1,0 +1,716 @@
+"""Tier E + Tier G matrix entries (SURVEY.md §2.1, §2.2) plus the
+TPC-H-style flagship queries. Each entry cites the reference operator
+it re-expresses; the Spark side is deliberately written through the
+engine's operator library so the library itself is what's tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.functions.money import cents, cents_sum_as_double, from_cents
+from sql_engine_spark.matrix import query, sql_avg_dollars, sql_cents, sql_sum_dollars
+from sql_engine_spark.operators import relational as R
+
+# ---------------------------------------------------------------------
+# Tier E — the operators the reference actually executes (§2.1)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "e01_scan_project",
+    oracle="SELECT o_orderkey, o_custkey, o_orderpriority FROM orders",
+)
+def e01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 scan + E12 projection (reference sqlengine.py:104-117,322-380).
+    Column pruning reaches the parquet footer (ReadSchema shows 3 cols)."""
+    return R.project(load_table(spark, sf_dir, "orders"), "o_orderkey", "o_custkey", "o_orderpriority")
+
+
+@query("e02_star", oracle="SELECT * FROM region")
+def e02_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 star expansion (sqlengine.py:260-265,405-407)."""
+    return R.project(load_table(spark, sf_dir, "region"), "*")
+
+
+@query(
+    "e03_filter_comparisons",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount <= 0.02 AND l_linenumber <> 3
+      AND l_tax > 0.0 AND l_quantity < 49
+    """,
+)
+def e03_filter_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/E7/E10: all six comparators of checkCondition
+    (sqlengine.py:138-158) in one conjunctive filter; pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = (
+        R.compare(F.col("l_quantity"), ">=", 30)
+        & R.compare(F.col("l_discount"), "<=", 0.02)
+        & R.compare(F.col("l_linenumber"), "!=", 3)
+        & R.compare(F.col("l_tax"), ">", 0.0)
+        & R.compare(F.col("l_quantity"), "<", 49)
+    )
+    return R.project(R.filter_rows(li, pred), "l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "e04_filter_andor_tree",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+       OR (o_orderstatus = 'O' AND o_totalprice < 50000.0)
+    """,
+)
+def e04_filter_andor_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8/E9 nested AND/OR tree (unwrapWhere, sqlengine.py:211-220) as
+    plain Column boolean algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    pred = ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000.0)) | (
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 50000.0)
+    )
+    return R.project(R.filter_rows(o, pred), "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "e05_negative_literal",
+    oracle="SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > -100 AND c_acctbal < 500",
+)
+def e05_negative_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative literals crash the reference (`.isdigit()` literal test,
+    sqlengine.py:171); here they are ordinary literals (FIXTURES.md §A)."""
+    c = load_table(spark, sf_dir, "customer")
+    return R.project(
+        R.filter_rows(c, (F.col("c_acctbal") > -100) & (F.col("c_acctbal") < 500)),
+        "c_custkey",
+        "c_acctbal",
+    )
+
+
+@query("e06_cross_join", oracle="SELECT r_name, n_name FROM region CROSS JOIN nation")
+def e06_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E4 cartesian product (cartProd/joinTables, sqlengine.py:120-135)
+    — legitimate only for tiny dimensions; Spark broadcasts the small side
+    (BroadcastNestedLoopJoin), never materializing row lists."""
+    return R.project(
+        R.cross_join(load_table(spark, sf_dir, "region"), load_table(spark, sf_dir, "nation")),
+        "r_name",
+        "n_name",
+    )
+
+
+@query(
+    "e07_implicit_equi_join",
+    oracle="""
+    SELECT o_orderkey, c_name FROM orders, customer
+    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+    """,
+)
+def e07_implicit_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: the reference evaluates `t1.c = t2.c` row-by-row over the
+    materialized product (sqlengine.py:170-173,184-189). Here the query
+    is *written* the same way — cross join then filter — precisely to
+    show Catalyst extracting the equi-join condition and planning a hash
+    join (see tests/test_plans.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = R.filter_rows(
+        R.cross_join(o, c),
+        (F.col("o_custkey") == F.col("c_custkey")) & (F.col("o_totalprice") > 400000.0),
+    )
+    return R.project(joined, "o_orderkey", "c_name")
+
+
+@query("e08_distinct", oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def e08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 DISTINCT: hash aggregate (map-side partials) vs the
+    reference's O(n²) list-membership scan (sqlengine.py:375-377)."""
+    return R.distinct(R.project(load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus"))
+
+
+@query(
+    "e09_aggregates",
+    oracle=f"""
+    SELECT MAX(l_quantity) AS max_qty, MIN(l_extendedprice) AS min_price,
+           {sql_sum_dollars('l_extendedprice')} AS sum_price,
+           {sql_avg_dollars('l_quantity')} AS avg_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def e09_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 MAX/MIN/SUM/AVG, multi-aggregate (sqlengine.py:274-294,
+    driver :392-399). SUM/AVG via exact cents (see functions/money.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return R.aggregate(
+        li,
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        cents_sum_as_double("l_extendedprice").alias("sum_price"),
+        (cents_sum_as_double("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "e10_agg_after_where",
+    oracle=f"""
+    SELECT {sql_sum_dollars('l_quantity')} AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def e10_agg_after_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrected semantics for the verified reference bug: its
+    aggregates read the UNFILTERED table even with WHERE
+    (sqlengine.py:280-281; SURVEY.md §2.1). Ours aggregate the filtered
+    rows, as SQL requires."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = R.filter_rows(li, F.col("l_shipdate") >= F.to_timestamp(F.lit("1999-01-01")))
+    return R.aggregate(
+        filtered,
+        cents_sum_as_double("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Tier G — grammar-accepted by the reference, executed only here (§2.2)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "g01_order_by_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100
+    """,
+)
+def g01_order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (parser.py:88,111-113 — parsed, ignored by the
+    reference). Lowers to TakeOrderedAndProject (per-partition top-k),
+    not a global sort. Unique tiebreak keys make the result set stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return R.order_limit(
+        R.project(li, "l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        limit=100,
+    )
+
+
+@query(
+    "g02_limit_offset",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey OFFSET 100 LIMIT 50",
+)
+def g02_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET (parser.py:113)."""
+    o = load_table(spark, sf_dir, "orders")
+    return R.order_limit(
+        R.project(o, "o_orderkey", "o_totalprice"), [F.col("o_orderkey").asc()], limit=50, offset=100
+    )
+
+
+@query(
+    "g03_group_by_having",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n_customers, {sql_sum_dollars('c_acctbal')} AS sum_acctbal
+    FROM customer GROUP BY c_nationkey
+    HAVING {sql_sum_dollars('c_acctbal')} > 0
+    """,
+)
+def g03_group_by_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (parser.py:105-109). Partial aggregation
+    map-side, one shuffle on the group key."""
+    c = load_table(spark, sf_dir, "customer")
+    agg = R.aggregate(
+        c,
+        F.count(F.lit(1)).alias("n_customers"),
+        cents_sum_as_double("c_acctbal").alias("sum_acctbal"),
+        group_by=["c_nationkey"],
+    )
+    return agg.filter(F.col("sum_acctbal") > 0)
+
+
+@query(
+    "g04_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, s_acctbal AS acctbal, 'supplier' AS src FROM supplier
+    """,
+)
+def g04_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (parser.py:86,111)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal"), F.lit("customer").alias("src")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "g05_union_distinct",
+    oracle="SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+)
+def g05_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return R.distinct(c.unionByName(s))
+
+
+@query(
+    "g06_intersect",
+    oracle="SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+)
+def g06_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "g07_except",
+    oracle="SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+)
+def g07_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers who never ordered."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+@query(
+    "g08_join_explicit_agg",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_orders, {sql_sum_dollars('o_totalprice')} AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def g08_join_explicit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit INNER JOIN ... ON chain (parser.py:90-102) + grouped
+    aggregation. nation broadcasts (25 rows); customer↔orders is the
+    real shuffle, on the join key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = R.equi_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    j = R.equi_join(j, n, F.col("c_nationkey") == F.col("n_nationkey"), broadcast_right=True)
+    return R.aggregate(
+        j,
+        F.count(F.lit(1)).alias("n_orders"),
+        cents_sum_as_double("o_totalprice").alias("total_price"),
+        group_by=["n_name"],
+    )
+
+
+@query(
+    "g09_join_left",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey, s_name
+    FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def g09_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN (parser.py:90-102); NULL padding for unmatched."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return R.project(
+        R.equi_join(n, s, F.col("n_nationkey") == F.col("s_nationkey"), how="left"),
+        "n_nationkey",
+        "n_name",
+        "s_suppkey",
+        "s_name",
+    )
+
+
+@query(
+    "g10_natural_join",
+    oracle="""
+    SELECT nationkey, n_name, c_acctbal
+    FROM (SELECT c_nationkey AS nationkey, c_acctbal FROM customer)
+    NATURAL JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation)
+    """,
+)
+def g10_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL/USING join (parser.py:90-102): join on the shared column
+    name, emitted once (coalesced) — Spark's list-of-names join form."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"), "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"), "n_name")
+    return c.join(n, on="nationkey").select("nationkey", "n_name", "c_acctbal")
+
+
+@query(
+    "g11_between_in",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {sql_sum_dollars('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+)
+def g11_between_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN + IN list (parser.py:81-82)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_quantity").between(10, 20) & F.col("l_returnflag").isin("A", "R"))
+    return R.aggregate(
+        f,
+        F.count(F.lit(1)).alias("n_rows"),
+        cents_sum_as_double("l_extendedprice").alias("sum_price"),
+        group_by=["l_returnflag"],
+    )
+
+
+@query(
+    "g12_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def g12_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) (parser.py:81) → left-semi join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return R.project(
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi"), "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "g13_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def g13_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS correlated subquery (parser.py:62) → left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return R.project(
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"), "c_custkey", "c_name"
+    )
+
+
+@query(
+    "g14_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE '%widget%' OR p_type LIKE 'PRO%'
+    """,
+)
+def g14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern match (parser.py:80)."""
+    p = load_table(spark, sf_dir, "part")
+    return R.project(
+        p.filter(F.col("p_name").like("%widget%") | F.col("p_type").like("PRO%")),
+        "p_partkey",
+        "p_name",
+        "p_type",
+    )
+
+
+@query(
+    "g15_case_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0 THEN 'big'
+                WHEN o_totalprice >= 100000.0 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
+    FROM orders
+    """,
+)
+def g15_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE expression + CAST (parser.py:61,58). FLOOR-then-cast is used
+    because bare double→int casts round differently across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000.0, "big")
+        .when(F.col("o_totalprice") >= 100000.0, "mid")
+        .otherwise("small")
+    )
+    return o.select(
+        "o_orderkey",
+        bucket.alias("bucket"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+    )
+
+
+@query(
+    "g16_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber % 2 AS parity,
+           l_partkey + l_suppkey AS key_sum,
+           l_quantity * 2.0 AS qty2,
+           -l_linenumber AS neg_ln,
+           l_partkey & 255 AS low_bits
+    FROM lineitem
+    """,
+)
+def g16_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic / unary minus / bitwise AND (parser.py:72,76-78)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") % 2).alias("parity"),
+        (F.col("l_partkey") + F.col("l_suppkey")).alias("key_sum"),
+        (F.col("l_quantity") * 2.0).alias("qty2"),
+        (-F.col("l_linenumber")).alias("neg_ln"),
+        (F.col("l_partkey").bitwiseAND(255)).alias("low_bits"),
+    )
+
+
+@query(
+    "g17_string_funcs",
+    oracle="""
+    SELECT c_custkey, UPPER(c_name) AS uname, CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           SUBSTR(c_name, 1, 8) AS pref, c_name || ':' || c_mktsegment AS tagged
+    FROM customer
+    """,
+)
+def g17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions + || concat (parser.py:63,75)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("pref"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+@query(
+    "g18_null_handling",
+    oracle="""
+    SELECT n_nationkey, s_suppkey,
+           COALESCE(s_name, 'missing') AS s_name_f,
+           s_suppkey IS NULL AS no_supplier,
+           NULLIF(n_nationkey % 5, 0) AS nz
+    FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def g18_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL tests / COALESCE / NULLIF (parser.py:73-74,80). The corpus
+    has no NULLs (like the reference's integer-only model, SURVEY.md
+    §1.2), so the outer join manufactures them."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    j = n.join(s, F.col("n_nationkey") == F.col("s_nationkey"), "left")
+    return j.select(
+        "n_nationkey",
+        "s_suppkey",
+        F.coalesce(F.col("s_name"), F.lit("missing")).alias("s_name_f"),
+        F.col("s_suppkey").isNull().alias("no_supplier"),
+        F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("nz"),
+    )
+
+
+@query(
+    "g19_window_topn",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def g19_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (engine extension — absent from the reference
+    entirely, SURVEY.md §2.2 'not present'): per-nation top-3 customers
+    by balance. One shuffle on the partition key."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "g20_scalar_subquery",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT {sql_avg_dollars('o_totalprice')} FROM orders)
+    """,
+)
+def g20_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in WHERE (parser.py:62,81): orders above the mean
+    price. The 1-row aggregate side broadcasts (BroadcastNestedLoopJoin)."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_df = o.agg((cents_sum_as_double("o_totalprice") / F.count(F.lit(1))).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "g21_count_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def g21_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — planned as a two-stage Expand aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "g22_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, {sql_sum_dollars('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def g22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (engine extension; absent from reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), cents_sum_as_double("l_quantity").alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------
+# TPC-H-style flagship queries (SURVEY.md §7 phase 1)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_dollars('l_quantity')} AS sum_qty,
+           {sql_sum_dollars('l_extendedprice')} AS sum_base_price,
+           CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS DOUBLE)/10000.0 AS sum_disc_price,
+           CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}) * (100 + {sql_cents('l_tax')})) AS DOUBLE)/1000000.0 AS sum_charge,
+           {sql_avg_dollars('l_quantity')} AS avg_qty,
+           {sql_avg_dollars('l_extendedprice')} AS avg_price,
+           {sql_avg_dollars('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, partial agg map-side, 4-group shuffle.
+    disc_price/charge stay exact: cents × integer percentages."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1999-12-01")))
+    e, d, t = cents("l_extendedprice"), cents("l_discount"), cents("l_tax")
+    n = F.count(F.lit(1))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        cents_sum_as_double("l_quantity").alias("sum_qty"),
+        cents_sum_as_double("l_extendedprice").alias("sum_base_price"),
+        (F.sum(e * (F.lit(100) - d)).cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.sum(e * (F.lit(100) - d) * (F.lit(100) + t)).cast("double") / 1000000.0).alias("sum_charge"),
+        (cents_sum_as_double("l_quantity") / n).alias("avg_qty"),
+        (cents_sum_as_double("l_extendedprice") / n).alias("avg_price"),
+        (cents_sum_as_double("l_discount") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS DOUBLE)/10000.0 AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filters push into the scans,
+    two key-shuffles (or broadcast at small SF), top-10 via
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-06-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-06-01"))
+    )
+    j = c.join(o, F.col("c_custkey") == F.col("o_custkey")).join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    rev = F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).cast("double") / 10000.0
+    agg = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(rev.alias("revenue"))
+    return (
+        agg.select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS DOUBLE)/10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. region/nation/supplier broadcast;
+    the fact-side shuffles stay on the orderkey/custkey chain. This is
+    the engine's flagship (entry() runs it at sf0.001)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).cast("double") / 10000.0
+    return j.groupBy("n_name").agg(rev.alias("revenue"))

@@ -1,0 +1,446 @@
+"""Tier X matrix entries (SURVEY.md §2.3): dedup, similarity search,
+text analysis, multimodal plumbing, event analytics, streaming. These
+are the LLM-data-pipeline operators mandated by BASELINE.json — no
+reference citations exist (the reference has none of this); design notes
+live in each operator module.
+
+Oracle coverage: everything SQL-expressible carries a DuckDB oracle
+(including exact n-gram Jaccard dedup, brute-force cosine top-k, and
+the *streaming* tumbling-window aggregation, which in bounded
+complete-mode equals its batch equivalent). Approximate/seeded ops
+(MinHash LSH, SimHash, SRP-ANN) are rows-only here and recall-tested
+against their exact twins in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.functions.money import cents, from_cents
+from sql_engine_spark.matrix import query
+from sql_engine_spark.operators import dedup as D
+from sql_engine_spark.operators import multimodal as M
+from sql_engine_spark.operators import similarity as S
+from sql_engine_spark.operators import text as T
+from sql_engine_spark.streaming import windows as SW
+
+# --- shared oracle fragments ----------------------------------------
+
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS s
+  FROM tok WHERE len(w) >= 3
+)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+# Left-to-right double fold mirroring F.aggregate (see matrix/__init__).
+def _fold_sum(elems: str) -> str:
+    return f"list_reduce(list_prepend(0.0, {elems}), (a, b) -> a + b)"
+
+
+def _dot(u: str, v: str) -> str:
+    return _fold_sum(f"list_transform(range(1, len({u})+1), i -> {u}[i]*{v}[i])")
+
+
+_TOPK_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id <> 0),
+s AS (
+  SELECT vec_id,
+         {_dot('ev', 'qv')} AS dp,
+         {_dot('ev', 'ev')} AS na,
+         {_dot('qv', 'qv')} AS nb
+  FROM e, q
+)
+SELECT vec_id,
+       CASE WHEN sqrt(na)*sqrt(nb) <> 0.0 THEN dp/(sqrt(na)*sqrt(nb)) END AS cosine_sim
+FROM s
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+"""
+
+_DUP_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, {_dot('v', 'v')} AS nrm FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt(a.nrm)*sqrt(b.nrm) <> 0.0
+              THEN {_dot('a.v', 'b.v')}/(sqrt(a.nrm)*sqrt(b.nrm)) END AS cosine_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4
+"""
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------
+
+
+@query(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a key with deterministic keep-smallest-id policy
+    (operators/dedup.exact_dedup): one shuffle on the key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return D.exact_dedup(docs, ["lang", "source"], "doc_id")
+
+
+@query("x02_dedup_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)
+def x02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) via
+    inverted-index self-join — candidates only where a shingle is
+    shared, never O(n²) (operators/dedup.ngram_jaccard_pairs)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
+    "x03_dedup_survivors",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.8)
+    """,
+)
+def x03_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup result: drop the larger id of each duplicate pair
+    (left-anti join — no collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return D.dedup_by_pairs(docs.select("doc_id", "lang", "source"), pairs)
+
+
+@query("x04_dedup_minhash_lsh")  # approximate (seeded banding) → rows-only; recall-tested vs x02
+def x04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the sub-quadratic 100 TB path
+    (operators/dedup.minhash_lsh_pairs)."""
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8).select(
+        "id_a", "id_b"
+    )
+
+
+@query("x05_dedup_simhash")  # banded hamming candidates (xxhash64-based) → rows-only
+def x05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 8 via 4×16-bit band join
+    (operators/dedup.simhash_pairs). Hamming 8 ≈ the shingle-level
+    distance the corpus's planted near-dups actually exhibit."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# ---------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------
+
+
+@query("x06_sim_topk_brute", oracle=_TOPK_SQL)
+def x06_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 — brute-force baseline
+    via TakeOrderedAndProject (operators/similarity.cosine_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = S.get_vector(emb, 0)
+    return S.cosine_topk(emb, qv, k=10, exclude_id=0)
+
+
+@query("x07_sim_ann_lsh")  # approximate (SRP buckets) → rows-only; recall-tested vs x06
+def x07_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via signed-random-projection buckets + exact rerank
+    (operators/similarity.ann_topk): probes ~17/65536 buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = S.get_vector(emb, 0)
+    return S.ann_topk(emb, qv, k=10, exclude_id=0).select("vec_id")
+
+
+@query("x08_sim_dup_pairs", oracle=_DUP_PAIRS_SQL)
+def x08_sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding similarity-pair mining (cosine ≥ 0.4 — this corpus has
+    no planted high-cosine duplicates; 0.4 ≈ its 99.99th percentile),
+    exact all-pairs mode for oracle checkability; the scale path is
+    use_buckets=True (operators/similarity.embedding_dup_pairs)."""
+    return S.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4, use_buckets=False)
+
+
+# ---------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------
+
+
+@query(
+    "x09_text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len
+    FROM documents
+    """,
+)
+def x09_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (operators/text.token_stats) — scan-stage only."""
+    return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x10_text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+             least(1.0, CAST(len(w) AS DOUBLE) / 50.0) AS len_score
+      FROM t
+    )
+    SELECT doc_id, stopword_ratio, distinct_ratio,
+           0.5*stopword_ratio + 0.3*len_score + 0.2*distinct_ratio AS quality_score
+    FROM s
+    """,
+)
+def x10_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (operators/text.quality_score)."""
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    counts = {
+        lang: f"CAST(len(list_filter(w, x -> list_contains([{', '.join(repr(s) for s in words)}], x))) AS BIGINT)"
+        for lang, words in T.LANG_STOPWORDS.items()
+    }
+    langs = list(T.LANG_STOPWORDS)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs[i + 1 :])
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    score_cols = ", ".join(f"{expr} AS score_{lang}" for lang, expr in counts.items())
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, {score_cols} FROM t)
+    SELECT doc_id, {', '.join('score_' + lang for lang in langs)}, {case} AS predicted_lang FROM s
+    """
+
+
+@query("x11_text_langid", oracle=_langid_oracle())
+def x11_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (operators/text.lang_id)."""
+    df = T.lang_id(load_table(spark, sf_dir, "documents"))
+    # Cast scores to long to match DuckDB len() typing.
+    casts = [F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in T.LANG_STOPWORDS]
+    return df.select("doc_id", *casts, "predicted_lang")
+
+
+@query(
+    "x12_text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents)
+    SELECT doc_id, md5(norm) AS md5_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(ascii(norm[i]) AS BIGINT) for i in range(1, len(norm)+1)]),
+             (a, b) -> (a*31 + b) % 2147483647
+           ) AS poly_fp
+    FROM t
+    """,
+)
+def x12_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 + 31-ary rolling hash
+    (operators/text.fingerprint)."""
+    return T.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------
+# Event analytics (JSON props, sessionization, windows)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "x13_events_json",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def x13_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props extraction (SURVEY.md §2.3 multimodal
+    metadata): get_json_object stays JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "x14_sessionize_batch",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             epoch_ms(ts) AS ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), y AS (
+      SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s FROM x
+    ), z AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM y
+    )
+    SELECT user_id, session_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM z GROUP BY user_id, session_id
+    """,
+)
+def x14_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) via window functions
+    — the batch twin of streaming/stateful.sessionize_stream. One
+    shuffle on user_id serves both window passes and the final group-by."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    with_flag = e.withColumn("ms", ms).withColumn(
+        "new_s",
+        F.when(F.lag("ms").over(w).isNull() | ((F.col("ms") - F.lag("ms").over(w)) > 1800000), 1).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        from_cents(F.sum(cents("value"))).alias("sum_value"),
+    )
+
+
+@query(
+    "x15_window_tumbling_batch",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             CAST((epoch_ms(ts) - epoch_ms(ts) % 600000)/1000 AS BIGINT) AS secs
+      FROM events
+    )
+    SELECT STRFTIME(make_timestamp(secs*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM b GROUP BY 1, 2
+    """,
+)
+def x15_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 10-minute tumbling windows via exact integer epoch-ms
+    bucketing (floating-point-free window assignment)."""
+    e = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    secs = ((ms - ms % 600000) / 1000).cast("long")
+    return (
+        e.withColumn("window_start", F.date_format(F.timestamp_seconds(secs), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            from_cents(F.sum(cents("value"))).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------
+
+
+@query(
+    "x16_multimodal_features",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte, sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def x16_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata columns → Arrow-batched mapInPandas
+    feature extraction (operators/multimodal). The oracle checks the
+    whole pipeline end-to-end because the fake text/plain 'decode' is
+    the identity on the payload bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_payload(docs))
+
+
+# ---------------------------------------------------------------------
+# Structured Streaming
+# ---------------------------------------------------------------------
+
+
+@query(
+    "s01_stream_tumbling",
+    oracle="""
+    SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run (readStream → watermark → tumbling
+    window → AvailableNow → memory sink). Bounded complete-mode output
+    equals the batch aggregation, so the batch oracle checks the
+    streaming engine's result (streaming/windows.py)."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    return SW.run_to_batch(SW.tumbling_window_agg(stream, width="1 hour"), output_mode="complete")
+
+
+@query("s02_stream_sessionize")  # emission set depends on micro-batching → rows-only
+def s02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful streaming via applyInPandasWithState: gap-based
+    sessionization with event-time timeouts (streaming/stateful.py).
+    Emits sessions closed within the bounded run; the trailing open
+    session per user stays in state, so this is a rows-only check
+    (deterministic content is asserted in tests/test_streaming.py)."""
+    from sql_engine_spark.streaming.stateful import sessionize_stream
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    out = SW.run_to_batch(sessionize_stream(stream), output_mode="append")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )

@@ -1,0 +1,126 @@
+"""Tier X text-analysis operators over the ``documents`` table
+(SURVEY.md §2.3 — not present in the reference; mandated by
+BASELINE.json's LLM-data-pipeline north star).
+
+Everything here is pure Spark SQL expressions (whole-stage codegen, no
+Python UDFs): token ops are array functions over ``split(text, ' ')``,
+scores are deterministic arithmetic, fingerprints are built-in hashes.
+Each helper is written so the identical computation is expressible in
+ANSI SQL for the DuckDB oracle (list_filter/list_contains mirror
+F.filter/isin, md5 matches md5, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote language
+# heuristic. Deliberately small and hard-coded: the oracle SQL carries
+# the same lists, so they are part of the operator's contract.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "les", "et", "des", "un"),
+    "zh": ("的", "是", "了"),
+}
+
+# Flat stopword list for the quality score's stopword-ratio component.
+STOPWORDS: tuple[str, ...] = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenizer. The corpus is single-space separated; a
+    production corpus would use ``F.split(c, r'\\s+')`` plus a BPE-ish
+    regex pass — same plan shape."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def count_in(arr: Column, vocab: tuple[str, ...]) -> Column:
+    """# tokens of ``arr`` that appear in ``vocab`` (with multiplicity)."""
+    return F.size(F.filter(arr, lambda t: t.isin(*vocab)))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: total / distinct tokens, char count, mean token
+    length. All computable from the scan with zero shuffles."""
+    w = tokens(text_col)
+    n = F.size(w)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        F.length(text_col).alias("n_chars"),
+        (F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double") / n).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic in [0, 1]:
+    0.5 * stopword_ratio + 0.3 * min(1, n_tokens/50) + 0.2 * distinct_ratio.
+
+    The components are the standard cheap text-quality signals
+    (length, stopword density, repetition); the exact weights are the
+    operator contract, mirrored in the oracle SQL.
+    """
+    w = tokens(text_col)
+    n = F.size(w).cast("double")
+    stop_ratio = count_in(w, STOPWORDS).cast("double") / n
+    len_score = F.least(F.lit(1.0), n / F.lit(50.0))
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    return df.select(
+        F.col(id_col),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (F.lit(0.5) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.2) * distinct_ratio).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count hits per language list, pick the
+    max with a fixed precedence order (en, es, de, fr, zh) on ties.
+    Pure expression → runs in the scan stage, no shuffle."""
+    w = tokens(text_col)
+    scores = {lang: count_in(w, words) for lang, words in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    pred: Column = F.lit(langs[-1])
+    # Build CASE from lowest to highest precedence: en wins ties.
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    cols = [F.col(id_col)] + [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return df.select(*cols, pred.alias("predicted_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - ``md5_fp``: md5 of the normalized (lower, trimmed) text — the
+      exact-dedup key; identical to any other engine's md5.
+    - ``poly_fp``: 31-ary rolling/polynomial hash over character codes
+      mod 2^31-1 — an order-sensitive structural fingerprint computed
+      with ``F.aggregate`` (left fold), expressible as list_reduce in
+      the oracle. Values stay < 2^36 so ANSI long arithmetic never
+      overflows.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    chars = F.transform(
+        F.filter(F.split(norm, ""), lambda ch: ch != ""),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
+    poly = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(2147483647),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("md5_fp"),
+        poly.alias("poly_fp"),
+    )

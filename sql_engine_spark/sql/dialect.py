@@ -1,0 +1,93 @@
+"""Dialect shim: reference/SQLite quirks → Spark SQL.
+
+The reference's grammar (reference parser.py:60-113, adapted from the
+SQLite SELECT grammar) accepts a few spellings Spark's ANTLR parser
+rejects. Rather than fork a parser, a tiny pre-rewrite normalizes the
+query text; Spark's own parser/analyzer does everything else
+(SURVEY.md §3.4). Handled:
+
+- ``==`` → ``=``           (accepted by the reference, sqlengine.py:178-179)
+- trailing ``;`` stripped
+- ``X GLOB 'pat'``  → ``X RLIKE '^glob-as-regex$'``  (parser.py:80)
+
+String literals are respected: rewrites never touch quoted text.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def glob_to_regex(pattern: str) -> str:
+    """SQLite GLOB pattern → anchored regex (* ? [...] supported)."""
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(ch))
+            else:
+                out.append(pattern[i : j + 1])
+                i = j
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _split_on_strings(q: str) -> list[tuple[bool, str]]:
+    """Split into (is_string_literal, chunk) segments so rewrites skip
+    quoted text. Handles '' escapes inside literals."""
+    parts: list[tuple[bool, str]] = []
+    buf, i, in_str = [], 0, False
+    while i < len(q):
+        ch = q[i]
+        if not in_str and ch == "'":
+            parts.append((False, "".join(buf)))
+            buf = [ch]
+            in_str = True
+        elif in_str and ch == "'":
+            if i + 1 < len(q) and q[i + 1] == "'":
+                buf.append("''")
+                i += 1
+            else:
+                buf.append(ch)
+                parts.append((True, "".join(buf)))
+                buf = []
+                in_str = False
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append((in_str, "".join(buf)))
+    return parts
+
+
+def normalize_query(q: str) -> str:
+    q = q.strip().rstrip(";").strip()
+    segs = _split_on_strings(q)
+    # == → =  outside strings
+    segs = [(s, t) if s else (s, t.replace("==", "=")) for s, t in segs]
+    # col GLOB 'pat' → col RLIKE 'regex' : GLOB keyword lives outside the
+    # string; the following literal segment holds the pattern.
+    out: list[str] = []
+    glob_pending = False
+    for is_str, t in segs:
+        if not is_str:
+            if re.search(r"(?i)\bGLOB\s*$", t):
+                t = re.sub(r"(?i)\bGLOB\s*$", "RLIKE ", t)
+                glob_pending = True
+            out.append(t)
+        else:
+            if glob_pending:
+                pat = t[1:-1].replace("''", "'")
+                rx = glob_to_regex(pat).replace("'", "''")
+                out.append(f"'{rx}'")
+                glob_pending = False
+            else:
+                out.append(t)
+    return "".join(out)

@@ -1,0 +1,128 @@
+"""Structured Streaming analytics over the ``events`` table
+(SURVEY.md §2.3 Tier X; the reference has no streaming construct at all
+— SURVEY.md §2.2 "Not present anywhere").
+
+Pattern: ``readStream`` file source → event-time watermark → windowed
+aggregation → sink. Tests and the driver harness run bounded with
+``Trigger.AvailableNow`` + memory sink, which processes the whole input
+and (in complete mode) emits exactly the batch-equivalent result — so
+the same DuckDB oracle SQL that checks the batch window aggregation
+checks the stream. In production the identical query runs unbounded
+with ``outputMode("append")``: the watermark bounds state, late events
+beyond it are dropped, and finalized windows flush to a parquet/Delta
+sink incrementally.
+
+Money aggregates use exact integer cents (see functions/money.py) so
+streaming results are deterministic and oracle-matchable.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_spark.functions.money import cents, from_cents
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. File sources need an
+    explicit schema (no inference mid-stream); new files arriving in the
+    directory would be picked up incrementally in production. ``ts`` is
+    stored as TIMESTAMP(NANOS) → read as long nanos (see session.py)
+    and converted to a µs timestamp with exact integer division."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_agg(
+    events: DataFrame, width: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows: count + exact-cents sum of ``value``
+    per (window, event_type). Watermark bounds the aggregation state;
+    events later than the watermark are dropped (late-data contract)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_cents"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            from_cents(F.col("sum_cents")).alias("sum_value"),
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. State is per (user, open session) and bounded by the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream via ``dropDuplicatesWithinWatermark``:
+    duplicate event_ids arriving within the watermark horizon are
+    dropped with bounded state (the unbounded-state ``dropDuplicates``
+    alternative is not 100 TB-safe)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a (bounded) streaming query to completion with
+    AvailableNow into a memory sink; return the result as a batch
+    DataFrame. Complete mode emits every window — identical to the
+    batch computation — which is what the oracle compares."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,112 @@
+"""Dedup + similarity operator tests: the approximate scale paths
+(MinHash LSH, SimHash, SRP-ANN) are validated by recall against their
+exact oracle-checked twins, on the driver corpus at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.operators import dedup as D
+from sql_engine_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+
+
+def test_exact_dedup_deterministic(spark, docs):
+    out = D.exact_dedup(docs.select("doc_id", "lang", "source"), ["lang", "source"], "doc_id")
+    rows = {(r.lang, r.source): r.doc_id for r in out.collect()}
+    # keep-min policy: every kept id is the min of its group
+    mins = {
+        (r.lang, r.source): r.m
+        for r in docs.groupBy("lang", "source").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert rows == mins
+
+
+def test_ngram_jaccard_finds_planted_dups(exact_pairs):
+    assert len(exact_pairs) > 0  # corpus has planted near-dups (TESTDATA)
+
+
+def test_minhash_recall_vs_exact(docs, exact_pairs):
+    """Banding (8 tables) must recover ≥80% of true pairs at j≥0.8 —
+    the planted dups are j≈0.9+ where MinHash recall is high."""
+    approx = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    if exact_pairs:
+        recall = len(approx & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.8, f"minhash recall {recall:.2f}"
+
+
+def test_simhash_candidates_cover_exact_pairs(docs, exact_pairs):
+    """SimHash is a candidate generator: at hamming ≤ 8 (the shingle
+    distance the planted dups actually show) it must cover most
+    strongest (j≥0.95) pairs."""
+    sim = {(r.id_a, r.id_b) for r in D.simhash_pairs(docs, max_hamming=8).collect()}
+    strong = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    if strong:
+        covered = len(sim & strong) / len(strong)
+        assert covered >= 0.8, f"simhash coverage of j≥0.95 pairs: {covered:.2f}"
+
+
+def test_dedup_by_pairs_drops_only_losers(docs, exact_pairs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    survivors = {r.doc_id for r in D.dedup_by_pairs(docs, pairs).collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    losers = {b for _, b in exact_pairs}
+    assert survivors == all_ids - losers
+
+
+# --- similarity ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_brute_topk_matches_numpy(emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = sorted(
+        ((vid, float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q)))) for vid, v in vecs.items() if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [(r.vec_id, r.cosine_sim) for r in S.cosine_topk(emb, list(q), k=10, exclude_id=0).collect()]
+    assert [v for v, _ in got] == [v for v, _ in sims]
+    for (_, a), (_, b) in zip(got, sims):
+        assert abs(a - b) < 1e-9
+
+
+def test_ann_recall_vs_brute(emb):
+    qv = S.get_vector(emb, 0)
+    brute = [r.vec_id for r in S.cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    ann = [r.vec_id for r in S.ann_topk(emb, qv, k=10, exclude_id=0).collect()]
+    recall = len(set(ann) & set(brute)) / len(brute)
+    assert recall >= 0.5, f"ANN recall@10 {recall:.2f}"
+
+
+def test_bucketed_dup_pairs_subset_of_exact(emb):
+    """Banded SRP pair mining must be a subset of the exact result with
+    usable recall. At cos≈0.4 (this corpus's top percentile; it has no
+    high-cosine planted dups) per-band collision is ~0.16, any-of-4 ≈
+    0.5 — for a true near-dup corpus (cos≥0.95) it is ≈0.99."""
+    exact = {(r.id_a, r.id_b) for r in S.embedding_dup_pairs(emb, threshold=0.4, use_buckets=False).collect()}
+    approx = {(r.id_a, r.id_b) for r in S.embedding_dup_pairs(emb, threshold=0.4, use_buckets=True).collect()}
+    assert approx <= exact
+    if len(exact) >= 10:
+        assert len(approx) / len(exact) >= 0.3, f"bucketed recall {len(approx)}/{len(exact)}"

@@ -1,0 +1,90 @@
+"""Physical-plan assertions — the 100 TB discipline checks (SURVEY.md
+§7 "scale risks"). Correctness tests prove results; these prove the
+*plans* are the ones that survive a 1000-executor scale-up:
+filters/columns reach the parquet scan, σ∘× becomes a real equi-join,
+dimensions broadcast, top-k avoids global sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_engine_spark import matrix
+from sql_engine_spark.catalog import load_table
+
+
+import contextlib
+import io
+
+
+def _explain(df, mode: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _plan(df) -> str:
+    return _explain(df, "simple")
+
+
+def _formatted(df) -> str:
+    return _explain(df, "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30).select("l_orderkey")
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = matrix.QUERIES["e01_scan_project"](spark, sf_dir)
+    plan = _formatted(df)
+    # ReadSchema must carry only the 3 projected columns.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read_schema and "o_orderpriority" in read_schema
+    assert "o_totalprice" not in read_schema
+
+
+def test_cross_join_plus_filter_becomes_equi_join(spark, sf_dir):
+    """E11: the reference materializes the product then filters
+    (sqlengine.py:120-135,161-195). Catalyst must extract the equality
+    into a hash join — no cartesian product in the physical plan."""
+    plan = _plan(matrix.QUERIES["e07_implicit_equi_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(matrix.QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy+limit must lower to TakeOrderedAndProject (per-partition
+    top-k), not a global Sort+CollectLimit."""
+    plan = _plan(matrix.QUERIES["g01_order_by_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_in_agg(spark, sf_dir):
+    df = matrix.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes this df's own QueryExecution on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # Codegen stages are marked "*" in simple mode / "[codegen id : n]"
+    # in formatted mode (Spark 4 no longer prints "WholeStageCodegen").
+    assert "[codegen id :" in _formatted(df)
+
+
+def test_semi_anti_joins(spark, sf_dir):
+    assert "LeftSemi" in _plan(matrix.QUERIES["g12_in_subquery"](spark, sf_dir))
+    assert "LeftAnti" in _plan(matrix.QUERIES["g13_not_exists"](spark, sf_dir))
+
+
+def test_partial_aggregation_map_side(spark, sf_dir):
+    """Grouped agg must show two HashAggregate phases (partial+final) —
+    map-side combine before the shuffle."""
+    plan = _plan(matrix.QUERIES["g08_join_explicit_agg"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,135 @@
+"""Reference-derived golden tests (FIXTURES.md family A).
+
+Fixtures reproduce the reference's own tables (table1-4 + metadata.txt,
+/root/reference/table1.csv:1-11 etc.); assertions follow the
+*corrected* semantics documented in SURVEY.md §2.1 — where the
+reference has verified bugs (aggregate-ignores-WHERE, negative-literal
+crash, silent unknown column) we assert the standard-SQL behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.errors import AnalysisException
+
+from sql_engine_spark.sources.csv_catalog import load_reference_catalog
+from sql_engine_spark.sql import run_sql
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def ref_tables(spark):
+    return load_reference_catalog(spark, FIXTURE_DIR)
+
+
+def test_select_star_table2_matches_golden(spark, ref_tables):
+    """Golden query 1 (requirements/sample_output.txt:1-15): data rows
+    must match exactly, including mixed quoted/bare CSV values."""
+    rows = [(r.B, r.D) for r in run_sql(spark, "Select * from table2;").collect()]
+    golden = [
+        (158, 11191), (773, 14421), (85, 5117), (811, 13393), (311, 16116),
+        (646, 5403), (335, 6309), (803, 12262), (718, 10226), (731, 13021),
+    ]
+    assert rows == golden
+
+
+def test_select_a_table1(spark, ref_tables):
+    """Golden query 2 shape (`Select A from table1`): all 11 values of
+    the root fixture incl. the duplicated last row (the golden file's 10
+    rows reflect the assignment's original dup-free copy)."""
+    rows = sorted(r.A for r in run_sql(spark, "Select A from table1;").collect())
+    assert rows == sorted([922, 640, 775, -551, -952, -354, -497, 411, -900, 858, 858])
+
+
+def test_distinct(spark, ref_tables):
+    """DISTINCT drops the duplicated row (table1.csv:10-11 property)."""
+    assert run_sql(spark, "select distinct A, B from table1").count() == 10
+    assert run_sql(spark, "select distinct * from table1").count() == 10
+
+
+def test_aggregate_respects_where(spark, ref_tables):
+    """The reference returns 1210 here, ignoring WHERE
+    (sqlengine.py:280-281 bug, verified). Correct answer: 4464."""
+    [row] = run_sql(spark, "select sum(A) as s from table1 where A > 0").collect()
+    assert row.s == 4464
+
+
+def test_multi_aggregates(spark, ref_tables):
+    [row] = run_sql(spark, "select max(A) as mx, min(B) as mn, avg(C) as av from table1").collect()
+    assert row.mx == 922
+    assert row.mn == 85
+    assert abs(row.av - 5662.545454545455) < 1e-9
+
+
+def test_negative_literal(spark, ref_tables):
+    """Crashes the reference (`.isdigit()` literal test, sqlengine.py:171)."""
+    rows = sorted(r.A for r in run_sql(spark, "select A from table1 where A > -100").collect())
+    assert rows == [411, 640, 775, 858, 858, 922]
+
+
+def test_where_equality_join(spark, ref_tables):
+    """Implicit equi-join via WHERE (spec p.2 §6c): 11 rows (dup row
+    joins too, FIXTURES.md table2 notes)."""
+    df = run_sql(
+        spark,
+        "select table1.A, table2.D from table1, table2 where table1.B == table2.B",
+    )
+    assert df.count() == 11
+
+
+def test_empty_join(spark, ref_tables):
+    """table3.B ∩ table4.B = ∅ (FIXTURES.md): empty result, not an error."""
+    df = run_sql(spark, "select * from table3, table4 where table3.B = table4.B")
+    assert df.count() == 0
+
+
+def test_nested_where_tree(spark, ref_tables):
+    """Arbitrary-depth AND/OR nesting (the spec's bonus part;
+    unwrapWhere, sqlengine.py:211-220)."""
+    df = run_sql(
+        spark,
+        "select A from table1 where (A > 0 AND B > 200) OR (A < -500 AND (C > 1500 OR B = 311))",
+    )
+    # Branch 1 (A>0 AND B>200): 640, 411, 858, 858 (922 fails: B=158).
+    # Branch 2 (A<-500 AND (C>1500 OR B=311)): -551 (C=1534),
+    # -952 (B=311), -900 (C=9020).
+    assert sorted(r.A for r in df.collect()) == sorted([640, 411, 858, 858, -551, -952, -900])
+
+
+def test_unknown_column_raises(spark, ref_tables):
+    """The reference silently prints nothing (todo:1); the analyzer
+    must raise instead (SURVEY.md §2.1 notes)."""
+    with pytest.raises(AnalysisException):
+        run_sql(spark, "select Z from table1").collect()
+
+
+def test_order_by_limit_actually_execute(spark, ref_tables):
+    """ORDER BY/LIMIT parse-but-ignore in the reference
+    ([verified by execution], SURVEY.md §0); here they execute."""
+    rows = [r.A for r in run_sql(spark, "select A from table1 order by A desc limit 3").collect()]
+    assert rows == [922, 858, 858]
+
+
+def test_group_by_executes(spark, ref_tables):
+    rows = {
+        (r.B, r.n)
+        for r in run_sql(spark, "select B, count(*) as n from table1 group by B").collect()
+    }
+    assert (731, 2) in rows
+    assert len(rows) == 10
+
+
+def test_glob_dialect(spark, ref_tables):
+    """GLOB is in the reference grammar (parser.py:80); the shim
+    rewrites it to RLIKE."""
+    df = run_sql(spark, "select A from table1 where cast(A as string) GLOB '9*'")
+    assert sorted(r.A for r in df.collect()) == [922]
+
+
+def test_missing_table_file_raises(spark, tmp_path):
+    (tmp_path / "metadata.txt").write_text("<begin_table>\nghost\nX\n<end_table>\n")
+    with pytest.raises(FileNotFoundError):
+        load_reference_catalog(spark, str(tmp_path))

@@ -1,0 +1,173 @@
+"""Structured Streaming tests (SURVEY.md §5.2: bounded AvailableNow
+runs + memory sinks for determinism)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.functions.money import cents, from_cents
+from sql_engine_spark.streaming import windows as SW
+from sql_engine_spark.streaming.stateful import sessionize_stream
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return SW.read_events_stream(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, events_stream, events_batch):
+    """Bounded complete-mode streaming == batch aggregation."""
+    got = SW.run_to_batch(SW.tumbling_window_agg(events_stream, width="1 hour"))
+    expect = (
+        events_batch.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), from_cents(F.sum(cents("value"))).alias("sum_value"))
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expect.collect()}
+    assert g == e
+
+
+def test_stream_sliding_window_counts(spark, events_stream, events_batch):
+    """Each event lands in exactly width/slide sliding windows."""
+    got = SW.run_to_batch(SW.sliding_window_counts(events_stream, width="1 hour", slide="30 minutes"))
+    total = sum(r.n_events for r in got.collect())
+    assert total == 2 * events_batch.count()
+
+
+def test_stream_session_window(spark, events_stream):
+    got = SW.run_to_batch(SW.session_window_agg(events_stream, gap="30 minutes"))
+    assert got.count() > 0
+    assert set(got.columns) == {"session_start", "user_id", "n_events"}
+
+
+def test_streaming_dedup(spark, events_stream, events_batch):
+    """dropDuplicatesWithinWatermark on a dup-free stream is lossless;
+    row-level payload survives."""
+    out = SW.run_to_batch(SW.streaming_dedup(events_stream), output_mode="append")
+    assert out.count() == events_batch.count()
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir, events_stream, events_batch):
+    """applyInPandasWithState sessionization: the bounded run emits
+    every gap-closed session, PLUS final sessions whose event-time
+    timeout (session_end + 30min gap) fell behind the final watermark
+    (max_ts − 1h). Only final sessions still inside the watermark
+    horizon stay open in state. Reconstruct that exact expectation from
+    the batch window-function sessionization."""
+    got = SW.run_to_batch(sessionize_stream(events_stream), output_mode="append")
+
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    win = w.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    sess = (
+        events_batch.withColumn("ms", ms)
+        .withColumn(
+            "new_s",
+            F.when(F.lag("ms").over(win).isNull() | ((F.col("ms") - F.lag("ms").over(win)) > 1800000), 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(win.rowsBetween(w.unboundedPreceding, w.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ms").alias("end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+            from_cents(F.sum(cents("value"))).alias("sum_value"),
+        )
+    )
+    max_ms = events_batch.agg(F.max(F.unix_millis("ts"))).first()[0]
+    watermark_ms = max_ms - 3600_000
+    last = sess.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    expected = (
+        sess.join(last, "user_id")
+        .filter((F.col("sid") < F.col("last_sid")) | (F.col("end_ms") + 1800000 < watermark_ms))
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+    g = {
+        (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S"), r.n_events, round(r.sum_value, 2))
+        for r in got.collect()
+    }
+    e = {
+        (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S"), r.n_events, round(r.sum_value, 2))
+        for r in expected.collect()
+    }
+    assert g == e
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Watermark contract: with a 10-minute watermark and append mode,
+    an event arriving hours late (two micro-batches behind) lands in a
+    window that was already finalized → dropped from the result.
+
+    Spark filters late rows against the watermark of the *previous*
+    micro-batch (watermarkForLateRows lags watermarkForEviction by one
+    batch), so the drop is observable only from the second batch after
+    the watermark-advancing data — hence three single-file batches."""
+    import time as _time
+
+    import pandas as pd
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+
+    def mk(ids, tss):
+        n = len(ids)
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(tss),
+                "user_id": [1] * n,
+                "event_type": ["click"] * n,
+                "value": [1.0] * n,
+                "props": ["{}"] * n,
+            }
+        )
+
+    # Distinct mtimes → file-source batch order a, b, c.
+    mk([1, 2], ["2024-01-01 00:01:00", "2024-01-01 02:00:00"]).to_parquet(
+        d / "a.parquet", coerce_timestamps="us"
+    )
+    _time.sleep(1.1)
+    mk([3], ["2024-01-01 02:30:00"]).to_parquet(d / "b.parquet", coerce_timestamps="us")
+    _time.sleep(1.1)
+    mk([4], ["2024-01-01 00:02:00"]).to_parquet(d / "c.parquet", coerce_timestamps="us")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "late_data_test"
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    # Batch a sets max ts 02:00 → watermark 01:50 finalizes the 00:00
+    # window with n=1. Batch c's 00:02 event is behind the 02:20
+    # late-rows watermark → dropped: n stays 1 (not 2), and only
+    # finalized windows are emitted.
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1
+    rows = {(r.win.start.isoformat(), r.n) for r in spark.table(name).collect()}
+    assert rows == {("2024-01-01T00:00:00", 1), ("2024-01-01T02:00:00", 1)}, rows

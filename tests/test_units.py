@@ -1,0 +1,50 @@
+"""Fast non-Spark unit tests: dialect shim, catalog parser, money/SQL
+shape helpers."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_engine_spark.matrix import sql_cents, sql_sum_dollars
+from sql_engine_spark.sources.csv_catalog import parse_metadata
+from sql_engine_spark.sql.dialect import glob_to_regex, normalize_query
+
+
+def test_normalize_double_equals():
+    assert normalize_query("select * from t where a == 1;") == "select * from t where a = 1"
+
+
+def test_normalize_preserves_string_literals():
+    q = "select * from t where s = 'a == b'"
+    assert normalize_query(q) == q
+
+
+def test_normalize_glob():
+    out = normalize_query("select * from t where s GLOB 'ab*c?'")
+    assert out == "select * from t where s RLIKE '^ab.*c.$'"
+
+
+def test_glob_charclass():
+    assert glob_to_regex("a[0-9]*") == "^a[0-9].*$"
+
+
+def test_glob_escapes_regex_chars():
+    assert glob_to_regex("a.b") == "^a\\.b$"
+
+
+def test_parse_metadata(tmp_path):
+    p = tmp_path / "metadata.txt"
+    p.write_text("<begin_table>\nt1\nA\nB\n<end_table>\n<begin_table>\nt2\nX\n<end_table>\n")
+    assert parse_metadata(str(p)) == {"t1": ["A", "B"], "t2": ["X"]}
+
+
+def test_parse_metadata_unterminated(tmp_path):
+    p = tmp_path / "metadata.txt"
+    p.write_text("<begin_table>\nt1\nA\n")
+    with pytest.raises(ValueError):
+        parse_metadata(str(p))
+
+
+def test_sql_shape_helpers():
+    assert sql_cents("x") == "CAST(ROUND(x*100) AS BIGINT)"
+    assert sql_sum_dollars("x") == "CAST(SUM(CAST(ROUND(x*100) AS BIGINT)) AS DOUBLE)/100.0"
