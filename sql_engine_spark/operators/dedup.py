@@ -5,13 +5,16 @@ sqlengine.py:375-377); these are the LLM-pipeline operators mandated by
 BASELINE.json, designed for 100 TB:
 
 - exact dedup = hash aggregate on a key (map-side partials, one shuffle)
-- n-gram Jaccard = inverted-index self-join on shingles (candidates are
-  only pairs sharing ≥1 shingle — never the O(n²) cross product)
-- MinHash LSH = Spark ML banding, the sub-quadratic scale path
+- n-gram Jaccard = prefix-filtered inverted-index self-join (PPJoin
+  family): candidates only where sorted prefixes collide — exact, and
+  never the O(n²) cross product
+- MinHash LSH = expression-only banded minhash signatures (xxhash64),
+  the sub-quadratic scale path
 - SimHash = 64-bit signature via xxhash64, banded for candidate gen
 
-All-pairs exact scoring stays exact because Jaccard is computed from
-distinct-shingle intersection counts produced by the join itself.
+Every approximate candidate generator is verified with an exact
+array_intersect Jaccard (or exact hamming), so emitted pairs are never
+false positives — only recall is approximate.
 """
 
 from __future__ import annotations
@@ -37,6 +40,18 @@ def exact_dedup(df: DataFrame, keys: list[str], tiebreak: str) -> DataFrame:
     )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    source produced fewer splits (a small local file reads as ONE
+    partition, serializing expression-heavy stages like shingling onto
+    one core). At real scale inputs already carry ≥ cores partitions
+    and this is a no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a single-space-tokenized text.
     Pure array expression (no UDF): slice the token array at every
@@ -50,6 +65,33 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(sz >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
+def _ceil_frac(sz: Column, threshold: float) -> Column:
+    """ceil(threshold * sz) in exact integer arithmetic. A double
+    multiply can land an ulp above the true product (0.8*45 →
+    36.000000000000004) and over-shorten the prefix, silently dropping
+    true pairs — so the threshold is scaled to an integer numerator."""
+    num = round(threshold * 1_000_000)
+    # floor((a + d - 1)/d) == ceil(a/d); the numerator stays well under
+    # 2^53, so the double division is exact enough for floor to be safe.
+    return F.floor((sz.cast("long") * num + (1_000_000 - 1)) / F.lit(1_000_000)).cast("long")
+
+
+def _verify_pairs_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs: fetch both
+    distinct-shingle arrays, |∩| via array_intersect. Two hash joins on
+    the id — small relative to candidate generation."""
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    j = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+    return (
+        j.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -57,41 +99,53 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs via inverted index.
+    """Exact n-gram Jaccard near-duplicate pairs via a prefix-filtered
+    inverted index (AllPairs/PPJoin family, Bayardo et al. WWW'07).
 
-    Plan: shingle each doc → explode → self-equi-join on the shingle
-    (only docs sharing a shingle ever meet — a real join, not a cross
-    product) → count shared distinct shingles per pair → Jaccard =
-    |∩| / (|A| + |B| - |∩|) → threshold.
+    Plan: shingle each doc → sort shingles into a global (lexicographic)
+    order → explode only the PREFIX (first sz − ⌈t·sz⌉ + 1 shingles):
+    any pair with J ≥ t must share a prefix shingle, so candidate
+    generation stays exact while exploding ~(1−t) of each doc and
+    meeting only pairs whose prefixes collide (~(1−t)² of the naive
+    inverted-index candidates). A length filter (t·max ≤ min) prunes
+    size-incompatible pairs inside the join. Survivors are verified
+    with an exact array_intersect Jaccard.
 
-    Scale notes: the shuffle key is the shingle; a shingle occurring in
-    m docs contributes m(m-1)/2 candidate pairs, so ultra-hot shingles
-    are the skew risk — AQE skew-join handles moderate skew, and the
-    sub-quadratic path for true 100 TB corpora is :func:`minhash_lsh_pairs`.
-    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Scale notes: the shuffle key is the shingle; a shingle in m-doc
+    prefixes contributes m(m−1)/2 candidates, so hot shingles are the
+    skew risk — lexicographic order is corpus-independent; a
+    document-frequency order (rarest-first prefixes) is the classic
+    upgrade if skew shows up. The sub-quadratic 100 TB path is
+    :func:`minhash_lsh_pairs`. Output: (id_a, id_b, jaccard), id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, n).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
-    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    # No size>0 filter here: empty shingle arrays explode to zero rows
+    # anyway, and a deterministic filter would be pushed below the
+    # repartition, re-evaluating the whole shingle expression serially
+    # on the (possibly single) input partition.
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.sort_array(shingles(text_col, n)).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+    )
+    prefix_len = (F.col("sz") - _ceil_frac(F.col("sz"), threshold) + 1).cast("int")
+    ex = sh.select("id", "sz", F.explode(F.slice("sh", 1, prefix_len)).alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
+    num = round(threshold * 1_000_000)
+    cands = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J ≥ t requires t·max(|A|,|B|) ≤ min(|A|,|B|)
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * 1_000_000
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * num
+            ),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs_jaccard(cands, sh, threshold)
 
 
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -111,37 +165,67 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate near-dup pairs via MinHash + banding (Spark ML
-    MinHashLSH): shingle → hash-features → minhash signatures → OR-ed
-    band buckets → approxSimilarityJoin. Sub-quadratic candidate
-    generation — the 100 TB path. Seeded → deterministic signatures,
-    but the candidate set is still approximate (banding may miss pairs
-    near the threshold), so this op is correctness-checked by recall
-    tests against :func:`ngram_jaccard_pairs`, not a SQL oracle.
+    """Near-dup pairs via MinHash + banding, expression-only (no ML
+    pipeline, no per-hash explode): the sub-quadratic 100 TB path.
 
-    Output: (id_a, id_b, jaccard_est) with id_a < id_b, where
-    jaccard_est = 1 - lsh_distance (ML reports Jaccard *distance*).
+    - signatures: b·r minhash values per doc, each
+      ``array_min(transform(shingles, s -> xxhash64(seed+i, s)))`` —
+      computed in the scan stage under whole-stage codegen, zero
+      shuffles and zero Python.
+    - banding: each band of r minhashes collapses to one 64-bit key;
+      docs are exploded to (band_idx, band_key) — b rows per doc — and
+      self-joined on the band. P(candidate) = 1 − (1 − J^r)^b ≈ 0.985
+      at J = 0.8 with b=8, r=4; chance collisions need J^r agreement,
+      so dissimilar pairs almost never meet.
+    - verification: candidates get an EXACT array_intersect Jaccard
+      (same verifier as :func:`ngram_jaccard_pairs`), so false
+      positives are eliminated; only banding recall is approximate.
+      Hence rows-only in the driver matrix + recall tests vs the exact
+      twin.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    (exact value for every emitted pair).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).filter(F.size("sh") > 0)
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
-    model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
-    return (
-        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            (F.lit(1.0) - F.col("dist")).alias("jaccard_est"),
-        )
+    # Pre-filter on the cheap token count (equivalent to size(sh) > 0:
+    # shingles are empty iff tokens < n). Filtering on size(sh) itself
+    # would be pushed below the repartition and re-evaluate the full
+    # shingle expression serially on the raw input partitioning.
+    # Without it, empty docs would share one all-null band key and
+    # candidate-pair quadratically among themselves.
+    sh = (
+        ensure_parallelism(df.filter(F.size(tokens(text_col)) >= n))
+        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("sz", F.size("sh"))
     )
+    minhashes = [
+        F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(seed + i), s)))
+        for i in range(n_bands * rows_per_band)
+    ]
+    band_keys = [
+        F.xxhash64(*minhashes[b * rows_per_band : (b + 1) * rows_per_band]).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    sig = sh.select("id", *band_keys)
+    # Long format: one shuffle on (band_idx, band_key) instead of b joins.
+    ex = sig.select(
+        "id", F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias("band", "key")
+    )
+    a, b_ = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs_jaccard(cands, sh, threshold)
 
 
 # --- SimHash -----------------------------------------------------------
@@ -160,7 +244,7 @@ def simhash_signatures(
     each shingle hashes with xxhash64, and bit j of the signature is
     the sign of Σ_shingles (2·bit_j(hash) − 1). Emitted as 4 × 16-bit
     bands (ints) for LSH banding."""
-    toks = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("t"))
+    toks = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("t"))
     h = F.xxhash64("t")
     bit_sums = [
         F.sum(F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
@@ -189,25 +273,27 @@ def simhash_pairs(
     """
     sig = simhash_signatures(df, id_col, text_col, n)
     n_bands = _SIMHASH_BITS // _BAND_BITS
-    cands = None
-    for band in range(n_bands):
-        a, b = sig.alias("a"), sig.alias("b")
-        c = a.join(
-            b, (F.col(f"a.band{band}") == F.col(f"b.band{band}")) & (F.col("a.id") < F.col("b.id"))
-        ).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            *[F.col(f"a.band{i}").alias(f"x{i}") for i in range(n_bands)],
-            *[F.col(f"b.band{i}").alias(f"y{i}") for i in range(n_bands)],
-        )
-        cands = c if cands is None else cands.unionByName(c)
+    # Long format (id, band_idx, band_value, full signature): ONE
+    # self-join on (band_idx, band_value) replaces n_bands separate
+    # joins, and the signature pipeline is computed once per side.
+    ex = sig.select(
+        "id",
+        *[F.col(f"band{i}") for i in range(n_bands)],
+        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(n_bands)])).alias("b_idx", "b_val"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
     ham = None
     for i in range(n_bands):
-        term = F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}")))
+        term = F.bit_count(F.col(f"a.band{i}").bitwiseXOR(F.col(f"b.band{i}")))
         ham = term if ham is None else ham + term
     return (
-        cands.dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham)
+        a.join(
+            b,
+            (F.col("a.b_idx") == F.col("b.b_idx"))
+            & (F.col("a.b_val") == F.col("b.b_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
