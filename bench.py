@@ -24,6 +24,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
     "e08_distinct",
     "g08_join_explicit_agg",
     "g19_window_topn",

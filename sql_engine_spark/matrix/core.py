@@ -714,3 +714,330 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).cast("double") / 10000.0
     return j.groupBy("n_name").agg(rev.alias("revenue"))
+
+
+@query(
+    "g23_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+    """,
+)
+def g23_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery (parser.py:62) → left-semi join (the
+    positive twin of g13's anti join)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return R.project(
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"), "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "g24_derived_table",
+    oracle=f"""
+    SELECT c_mktsegment, n_big, {sql_sum_dollars('seg.total')} AS seg_total
+    FROM (
+      SELECT c_mktsegment, COUNT(*) AS n_big, SUM(o_totalprice) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 150000.0
+      GROUP BY c_mktsegment
+    ) seg
+    GROUP BY c_mktsegment, n_big
+    """,
+)
+def g24_derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived table ``(SELECT ...) AS alias`` in FROM (parser.py:95-99):
+    an aggregate subquery re-aggregated in the outer query."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_big"), F.sum(cents("o_totalprice")).alias("total_c"))
+    )
+    return seg.groupBy("c_mktsegment", "n_big").agg(
+        (F.sum("total_c").cast("double") / 100.0).alias("seg_total")
+    )
+
+
+@query(
+    "g25_regexp",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE regexp_matches(p_name, '^[a-z]+ (widget|gadget) [0-9]+$')
+    """,
+)
+def g25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP pattern match (parser.py:80) → rlike. The pattern sticks
+    to syntax Java regex and RE2 agree on."""
+    p = load_table(spark, sf_dir, "part")
+    return R.project(
+        p.filter(F.col("p_name").rlike("^[a-z]+ (widget|gadget) [0-9]+$")), "p_partkey", "p_name"
+    )
+
+
+@query(
+    "g26_bit_shift",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_partkey << 2 AS shl, l_partkey >> 3 AS shr,
+           l_partkey | l_suppkey AS bor, xor(l_partkey, l_suppkey) AS bxor
+    FROM lineitem
+    """,
+)
+def g26_bit_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise shifts and OR/XOR (parser.py:78)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.shiftleft(F.col("l_partkey"), 2).alias("shl"),
+        F.shiftright(F.col("l_partkey"), 3).alias("shr"),
+        F.col("l_partkey").bitwiseOR(F.col("l_suppkey")).alias("bor"),
+        F.col("l_partkey").bitwiseXOR(F.col("l_suppkey")).alias("bxor"),
+    )
+
+
+@query(
+    "g27_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS oyear,
+           CAST(month(o_orderdate) AS BIGINT) AS omonth,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS oday,
+           STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '1999-01-01') AS BIGINT) AS days_to_ref,
+           STRFTIME(date_trunc('month', o_orderdate), '%Y-%m-%d') AS omonth_start
+    FROM orders
+    """,
+)
+def g27_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time arithmetic (the grammar only has CURRENT_* literals,
+    parser.py:48-53; full date functions are an engine extension).
+    Formatted to strings so both engines compare identical values."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("oyear"),
+        F.month("o_orderdate").cast("long").alias("omonth"),
+        F.dayofmonth("o_orderdate").cast("long").alias("oday"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.to_timestamp(F.lit("1999-01-01")), F.col("o_orderdate")).cast("long").alias("days_to_ref"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("omonth_start"),
+    )
+
+
+@query(
+    "g28_math_funcs",
+    oracle="""
+    SELECT c_custkey,
+           abs(c_acctbal) AS abal,
+           round(c_acctbal, 1) AS rbal,
+           sqrt(abs(c_acctbal)) AS sbal,
+           CAST(floor(c_acctbal) AS BIGINT) AS fbal,
+           CAST(ceil(c_acctbal) AS BIGINT) AS cbal,
+           c_acctbal * c_acctbal AS sqbal,
+           c_custkey % 7 AS m7
+    FROM customer
+    """,
+)
+def g28_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (parser.py:63 generic call syntax). Sticks
+    to IEEE-exact ops (abs/sqrt/floor/ceil/multiply/mod) — exp/ln vary
+    by libm ulps across engines and cannot hash-match."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("abal"),
+        F.round("c_acctbal", 1).alias("rbal"),
+        F.sqrt(F.abs("c_acctbal")).alias("sbal"),
+        F.floor("c_acctbal").cast("long").alias("fbal"),
+        F.ceil("c_acctbal").cast("long").alias("cbal"),
+        (F.col("c_acctbal") * F.col("c_acctbal")).alias("sqbal"),
+        (F.col("c_custkey") % 7).alias("m7"),
+    )
+
+
+@query(
+    "g29_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, {sql_sum_dollars('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def g29_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (engine extension; g22 covers ROLLUP)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), cents_sum_as_double("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (priority checking): date-filtered orders semi-
+    joined to late-shipped lineitems. The semi join shuffles once on
+    the orderkey and never duplicates orders rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q12_priority_class",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional aggregation): CASE-sum pivots over a
+    fact/fact join (adapted to this corpus: return flag in place of the
+    reference schema's ship mode, which the synthetic corpus lacks)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN {sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})
+                   ELSE 0 END) AS DOUBLE)
+           / CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): part broadcasts into the
+    date-pruned lineitem scan; single scalar output from exact-cents
+    integer sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           {sql_sum_dollars('l_quantity')} AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING subquery is
+    a pre-aggregation on the fact's own join key, delivered as a semi
+    join — both aggregations shuffle on l_orderkey so AQE can reuse the
+    partitioning; top-100 via TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_c"))
+        .filter(F.col("qty_c") > 150 * 100)
+        .select("l_orderkey")
+    )
+    j = (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(cents_sum_as_double("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive",
+    oracle=f"""
+    SELECT {sql_sum_dollars('l_extendedprice')} AS gross_revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicates over a join): Catalyst
+    extracts the common l_partkey = p_partkey conjunct so this plans as
+    a hash join with a residual OR filter — not a nested-loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return j.filter(pred).agg(
+        cents_sum_as_double("l_extendedprice").alias("gross_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

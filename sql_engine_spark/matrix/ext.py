@@ -444,3 +444,100 @@ def s02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "x17_text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'),
+                                t -> regexp_matches(t, '^[0-9]$'))) AS BIGINT) AS n_digit_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_distinct_bpe
+    FROM documents
+    """,
+)
+def x17_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (SURVEY.md §2.3 text analysis:
+    "whitespace + a BPE-ish regex"): a GPT-2-style pre-tokenizer
+    pattern — letter runs, single digits, single punctuation — kept to
+    syntax Java regex and RE2 evaluate identically. Scan-stage only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]$"))).cast("long").alias("n_digit_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+    )
+
+
+@query(
+    "s03_stream_sliding",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_ms(ts) - epoch_ms(ts) % 1800000) // 1000 AS slot
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, unnest([slot, slot - 1800]) AS win_start FROM g
+    )
+    SELECT STRFTIME(make_timestamp(win_start*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def s03_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sliding windows (1h width, 30m slide): every event
+    lands in exactly 2 windows. Bounded complete-mode output equals the
+    batch expansion, which the oracle reproduces by unnesting both
+    window starts per event."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    return SW.run_to_batch(
+        SW.sliding_window_counts(stream, width="1 hour", slide="30 minutes"),
+        output_mode="complete",
+    )
+
+
+@query(
+    "s04_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+)
+def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup via dropDuplicatesWithinWatermark (bounded
+    state — the 100 TB-safe exactly-once path). The corpus has unique
+    event_ids, so the lossless append-mode output equals the plain
+    event set, which is exactly what the oracle checks."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    out = SW.run_to_batch(SW.streaming_dedup(stream), output_mode="append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+@query("x18_sim_ivf")  # kmeans coarse quantizer (seeded) → rows-only; recall-tested vs x06
+def x18_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-10: seeded k-means inverted lists, probe the 4
+    nearest of 16, exact cosine rerank (operators/similarity.ivf_topk —
+    the FAISS-IVF-Flat shape re-expressed as Spark partitioning)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = S.get_vector(emb, 0)
+    return S.ivf_topk(emb, qv, k=10, exclude_id=0).select("vec_id")
+
+
+@query("x19_multimodal_frames")  # byte-slice frame shape; multibyte text ↛ SQL substring → rows-only
+def x19_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 4th 64-byte frame)
+    via Arrow-batched mapInPandas with row fan-out
+    (operators/multimodal.frame_sample). Deterministic content is
+    asserted against a local recomputation in tests/test_units.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.frame_sample(M.attach_payload(docs))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from sql_engine_spark.operators.text import tokens
 
@@ -122,11 +123,15 @@ def ngram_jaccard_pairs(
     # anyway, and a deterministic filter would be pushed below the
     # repartition, re-evaluating the whole shingle expression serially
     # on the (possibly single) input partition.
+    # The shingle table feeds four plan branches (both join sides of
+    # candidate generation and of verification); persist it so the
+    # expensive shingle expression is computed and codegen-compiled
+    # once. MEMORY_AND_DISK spills at scale; size is O(corpus shingles).
     sh = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), F.sort_array(shingles(text_col, n)).alias("sh"))
         .withColumn("sz", F.size("sh"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (F.col("sz") - _ceil_frac(F.col("sz"), threshold) + 1).cast("int")
     ex = sh.select("id", "sz", F.explode(F.slice("sh", 1, prefix_len)).alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -200,7 +205,7 @@ def minhash_lsh_pairs(
         ensure_parallelism(df.filter(F.size(tokens(text_col)) >= n))
         .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
         .withColumn("sz", F.size("sh"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     minhashes = [
         F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(seed + i), s)))
         for i in range(n_bands * rows_per_band)
@@ -271,7 +276,7 @@ def simhash_pairs(
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
-    sig = simhash_signatures(df, id_col, text_col, n)
+    sig = simhash_signatures(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = _SIMHASH_BITS // _BAND_BITS
     # Long format (id, band_idx, band_value, full signature): ONE
     # self-join on (band_idx, band_value) replaces n_bands separate

@@ -64,6 +64,53 @@ def decode_media(payload: bytes, mime: str) -> bytes:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:
+    """Frame sampling over binary payloads via ``mapInPandas``: each
+    payload is treated as a sequence of fixed-size frames (standing in
+    for video frames — a real decoder would come from
+    :func:`decode_media`); every ``every_n``-th frame is emitted as its
+    own row. One input row fans out to many output rows inside the
+    Arrow batch — the exact shape a video→frames exploder needs; at
+    scale the output is repartitioned by downstream keys, and payload
+    bytes never pass through the driver."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            hashes: list[str] = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                data = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
+                n_frames = (len(data) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_n):
+                    frame = data[i * frame_size : (i + 1) * frame_size]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    hashes.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_sha256": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow-batched, one Python process per task, zero row-at-a-time

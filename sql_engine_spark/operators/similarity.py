@@ -143,6 +143,53 @@ def ann_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer partitions the corpus
+    into ``n_lists`` inverted lists; search scans only the ``n_probe``
+    lists whose centroids are nearest the query, then exact-reranks.
+
+    The scale shape (FAISS IVF-Flat, re-expressed in Spark): train the
+    quantizer on a sample, assign each vector to its nearest centroid
+    (scan-stage kmeans transform), and persist partitioned by
+    ``list_id`` so a probe prunes to n_probe/n_lists of the data via
+    partition pruning. Here assignment happens inline; the probe is a
+    small-int ``isin`` filter. Seeded k-means → deterministic lists.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # Cluster on L2-NORMALIZED vectors (spherical k-means shape): on the
+    # unit sphere euclidean distance is monotone in cosine, so euclidean
+    # lists agree with the cosine rerank — unnormalized k-means buckets
+    # by magnitude and wrecks recall for cosine queries.
+    v = to_double_array(vec_col)
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    feats = df.select(F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("fv"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="fv", predictionCol="list_id")
+    model = km.fit(feats)
+    assigned = model.transform(feats)
+    centroids = model.clusterCenters()  # list of numpy arrays
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    if qn > 0:
+        q = q / qn
+    order = sorted(range(len(centroids)), key=lambda i: float(np.linalg.norm(centroids[i] - q)))
+    probe = order[:n_probe]
+    cands = assigned.filter(F.col("list_id").isin(*probe)).select(id_col, vec_col)
+    return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

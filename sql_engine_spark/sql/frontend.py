@@ -11,5 +11,20 @@ from pyspark.sql import DataFrame, SparkSession
 from sql_engine_spark.sql.dialect import normalize_query
 
 
-def run_sql(spark: SparkSession, query: str) -> DataFrame:
-    return spark.sql(normalize_query(query))
+def run_sql(
+    spark: SparkSession,
+    query: str,
+    args: dict[str, object] | list[object] | None = None,
+) -> DataFrame:
+    """Run one (dialect-normalized) SQL query.
+
+    ``args`` are bind parameters (reference grammar accepts ``?``/
+    ``:name``/``@name``/``$name`` markers, parser.py:54-57, though the
+    reference never executes them): a dict binds ``:name`` markers, a
+    list binds positional ``?`` markers — both handled natively by
+    Spark's parameterized ``spark.sql`` (literals injected post-parse,
+    so no quoting/injection concerns)."""
+    q = normalize_query(query)
+    if args is None:
+        return spark.sql(q)
+    return spark.sql(q, args=args)

@@ -110,3 +110,17 @@ def test_bucketed_dup_pairs_subset_of_exact(emb):
     assert approx <= exact
     if len(exact) >= 10:
         assert len(approx) / len(exact) >= 0.3, f"bucketed recall {len(approx)}/{len(exact)}"
+
+
+def test_ivf_recall_vs_brute(emb):
+    """This corpus's nearest neighbors sit at cos≈0.3 (no planted
+    dups), so partial-probe recall is inherently modest — assert the
+    chance-beating floor at probe=4 AND the exact-recovery invariant:
+    probing ALL lists must equal brute force exactly."""
+    qv = S.get_vector(emb, 0)
+    brute = [r.vec_id for r in S.cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    ivf4 = [r.vec_id for r in S.ivf_topk(emb, qv, k=10, exclude_id=0, n_probe=4).collect()]
+    recall4 = len(set(ivf4) & set(brute)) / len(brute)
+    assert recall4 >= 0.3, f"IVF recall@10 (probe 4/16) {recall4:.2f}"
+    ivf_all = [r.vec_id for r in S.ivf_topk(emb, qv, k=10, exclude_id=0, n_probe=16).collect()]
+    assert ivf_all == brute

@@ -48,3 +48,24 @@ def test_parse_metadata_unterminated(tmp_path):
 def test_sql_shape_helpers():
     assert sql_cents("x") == "CAST(ROUND(x*100) AS BIGINT)"
     assert sql_sum_dollars("x") == "CAST(SUM(CAST(ROUND(x*100) AS BIGINT)) AS DOUBLE)/100.0"
+
+
+def test_frame_sample_matches_local_recomputation(spark, sf_dir):
+    import hashlib
+
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.operators.multimodal import attach_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_bytes, r.frame_sha256)
+        for r in frame_sample(attach_payload(docs)).collect()
+    }
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        data = r.text.encode("utf-8")
+        n_frames = (len(data) + 63) // 64
+        for i in range(0, n_frames, 4):
+            frame = data[i * 64 : (i + 1) * 64]
+            expect[(r.doc_id, i)] = (len(frame), hashlib.sha256(frame).hexdigest())
+    assert got == expect
