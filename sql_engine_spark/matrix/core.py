@@ -1041,3 +1041,41 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_sum_as_double("l_extendedprice").alias("gross_revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "g30_stats_exact",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+           CAST(COUNT(*) * SUM(CAST(ROUND(l_quantity*100) AS BIGINT) * CAST(ROUND(l_quantity*100) AS BIGINT))
+                - SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) * SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) * COUNT(*) AS DOUBLE) / 10000.0 AS var_pop_qty,
+           sqrt(CAST(COUNT(*) * SUM(CAST(ROUND(l_quantity*100) AS BIGINT) * CAST(ROUND(l_quantity*100) AS BIGINT))
+                - SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) * SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) * COUNT(*) AS DOUBLE) / 10000.0) AS stddev_pop_qty,
+           quantile_cont(l_quantity, 0.5) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def g30_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates with EXACT cross-engine results: built-in
+    var_pop/stddev float accumulation is partial-aggregation-order-
+    dependent, so population variance is assembled from integer-cents
+    power sums ((n·Σc² − (Σc)²)/n²) — order-independent, then one
+    double division and an IEEE sqrt on both engines. Median via exact
+    interpolated percentile (integer-valued quantities → exact halves)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = cents("l_quantity").cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(c)
+    s2 = F.sum(c * c)
+    var_pop = (n * s2 - s1 * s1).cast("double") / (n * n).cast("double") / F.lit(10000.0)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n_rows"),
+        cents_sum_as_double("l_quantity").alias("sum_qty"),
+        var_pop.alias("var_pop_qty"),
+        F.sqrt(var_pop).alias("stddev_pop_qty"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+    )

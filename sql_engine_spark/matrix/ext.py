@@ -541,3 +541,64 @@ def x19_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted against a local recomputation in tests/test_units.py."""
     docs = load_table(spark, sf_dir, "documents")
     return M.frame_sample(M.attach_payload(docs))
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
+"""
+
+
+@query("x20_dedup_components", oracle=_COMPONENTS_SQL)
+def x20_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full connected-components canonicalization of the exact Jaccard
+    near-dup graph (operators/dedup.connected_components): every doc
+    labeled with the min id of its duplicate CLUSTER (transitive), not
+    just its pair — the correct keep-one policy for chained dups. The
+    DuckDB oracle computes the same fixpoint with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return D.connected_components(pairs, docs.select("doc_id"))
+
+
+@query(
+    "x21_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def x21_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation over the low-cardinality
+    event_type key (operators/relational.salted_aggregate): 16 salted
+    partials per key, then an exact final merge. Integer partials make
+    the result bit-identical to the plain GROUP BY — which is exactly
+    what the oracle runs."""
+    from sql_engine_spark.operators.relational import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        e,
+        keys=["event_type"],
+        cents_col=cents("value"),
+        salt_col=F.xxhash64("event_id"),
+        n_salts=16,
+    )

@@ -302,3 +302,61 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    vertex gets the MINIMUM id reachable through pairs as its canonical
+    ``component`` label — the full-cluster canonicalization that
+    :func:`dedup_by_pairs` (single-hop) approximates.
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    takes min(own label, neighbors' labels); convergence when no label
+    changes (≤ graph diameter rounds — near-dup clusters are shallow).
+    Each round is one shuffle on the vertex id; ``localCheckpoint``
+    truncates the plan between rounds so lineage (and codegen) stays
+    O(1) per round instead of O(rounds). The driver-side loop reads
+    only a single convergence scalar per round — labels never leave the
+    executors. For graphs with huge diameters the classic upgrade is
+    large-star/small-star (Kiveris et al.), same building blocks.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "component")

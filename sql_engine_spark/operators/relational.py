@@ -118,3 +118,36 @@ def order_limit(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    cents_col: Column,
+    salt_col: Column,
+    n_salts: int = 16,
+    sum_alias: str = "sum_c",
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: a deterministic salt spreads one
+    hot group key over ``n_salts`` reducers for the wide partial
+    aggregation; the narrow final pass (n_salts rows per key) restores
+    exact totals. Because partials are integer sums, the result is
+    bit-identical to the unsalted aggregation — this operator exists so
+    a single pathological key (the classic 100 TB skew killer) cannot
+    stall one reducer. AQE's skew handling covers joins; aggregation
+    skew needs this explicit shape.
+
+    ``salt_col`` must be deterministic (e.g. pmod(xxhash64(row id), n))
+    so retried tasks reproduce identical partials.
+    """
+    from pyspark.sql import functions as F
+
+    partial = (
+        df.withColumn("__salt", F.pmod(salt_col, F.lit(n_salts)))
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(cents_col).alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__s").alias(sum_alias), F.sum("__n").cast("long").alias(count_alias)
+    )
