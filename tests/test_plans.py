@@ -88,3 +88,48 @@ def test_partial_aggregation_map_side(spark, sf_dir):
     map-side combine before the shuffle."""
     plan = _plan(matrix.QUERIES["g08_join_explicit_agg"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    """Bucketing both join sides on the key elides the Exchange on both
+    sides — the write-once/join-many co-location that makes fact⋈fact
+    joins survive 100 TB (sources/bucketing.py)."""
+    from sql_engine_spark.sources.bucketing import co_located_join, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    write_bucketed(o, "b_orders", ["o_custkey"], n_buckets=8)
+    write_bucketed(c, "b_customer", ["o_custkey"], n_buckets=8)
+    # Disable broadcast so the join would otherwise shuffle both sides.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = co_located_join(spark, "b_orders", "b_customer", on=["o_custkey"])
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_ngram_jaccard_never_cartesian(spark, sf_dir):
+    """The exact near-dup join must be a real equi-join on the shingle,
+    never an O(n²) product."""
+    df = matrix.QUERIES["x02_dedup_ngram_jaccard"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    """x21 must plan two aggregation levels (salted wide phase + final
+    merge), each with its own partial/final HashAggregate pair."""
+    plan = _plan(matrix.QUERIES["x21_salted_agg"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q18_semi_join(spark, sf_dir):
+    plan = _plan(matrix.QUERIES["q18_large_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
