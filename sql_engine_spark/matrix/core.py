@@ -1079,3 +1079,64 @@ def g30_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var_pop).alias("stddev_pop_qty"),
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
     )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS DOUBLE)/10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): selective returnflag +
+    date filters push to the scans, nation broadcasts, top-20 via
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).cast("double") / 10000.0
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "g31_correlated_scalar",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier s
+    WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def g31_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape: per-group max lookup,
+    parser.py:62,81). Planned as one window max over the correlation
+    key — a single shuffle instead of a per-row subquery."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("__mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )

@@ -602,3 +602,27 @@ def x21_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col=F.xxhash64("event_id"),
         n_salts=16,
     )
+
+
+def _sentiment_oracle() -> str:
+    hits = {
+        w: f"len(list_filter(string_split(text, ' '), t -> t = '{w}'))"
+        for w in T.SENTIMENT_LEXICON
+    }
+    score = " + ".join(f"{h} * ({T.SENTIMENT_LEXICON[w]})" for w, h in hits.items())
+    pos = " + ".join(h for w, h in hits.items() if T.SENTIMENT_LEXICON[w] > 0)
+    neg = " + ".join(h for w, h in hits.items() if T.SENTIMENT_LEXICON[w] <= 0)
+    return f"""
+    SELECT doc_id,
+           CAST({pos} AS BIGINT) AS pos_hits,
+           CAST({neg} AS BIGINT) AS neg_hits,
+           CAST({score} AS BIGINT) AS sentiment
+    FROM documents
+    """
+
+
+@query("x22_text_sentiment", oracle=_sentiment_oracle())
+def x22_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (operators/text.sentiment_score):
+    literal-folded polarity lexicon, scan-stage only."""
+    return T.sentiment_score(load_table(spark, sf_dir, "documents"))

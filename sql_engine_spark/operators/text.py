@@ -124,3 +124,46 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(norm).alias("md5_fp"),
         poly.alias("poly_fp"),
     )
+
+
+# Corpus-tuned polarity lexicon for the sentiment operator (the classic
+# lexicon-based approach — EDBT 2016 sentiment-on-Spark pattern; see
+# PAPERS.md). Weights are the operator contract, mirrored in oracle SQL.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2,
+    "small": 1,
+    "big": 1,
+    "slow": -2,
+    "dup": -1,
+}
+
+
+def sentiment_score(
+    df: DataFrame,
+    lexicon: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexicon-based sentiment: Σ count(word)·weight over the polarity
+    lexicon, plus positive/negative hit counts. The lexicon folds into
+    the plan as literals (a broadcast-join against a lexicon TABLE is
+    the shape for 100k-word lexicons; for small lexicons literal
+    folding keeps everything in the scan stage with zero shuffles)."""
+    lex = SENTIMENT_LEXICON if lexicon is None else lexicon
+    w = tokens(text_col)
+    score: Column = F.lit(0)
+    pos: Column = F.lit(0)
+    neg: Column = F.lit(0)
+    for word, weight in lex.items():
+        hits = count_in(w, (word,))
+        score = score + hits * F.lit(weight)
+        if weight > 0:
+            pos = pos + hits
+        else:
+            neg = neg + hits
+    return df.select(
+        F.col(id_col),
+        pos.cast("long").alias("pos_hits"),
+        neg.cast("long").alias("neg_hits"),
+        score.cast("long").alias("sentiment"),
+    )

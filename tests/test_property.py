@@ -1,0 +1,70 @@
+"""Property-based tests (SURVEY.md §5.2): random integer tables →
+engine operators vs plain-Python reference semantics. Pins the
+corrected aggregate-after-WHERE behavior (the reference's verified bug,
+reference sqlengine.py:280-281) on arbitrary inputs, not just fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sql_engine_spark.operators import relational as R
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.integers(min_value=-1000, max_value=1000),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+SLOW_SPARK = settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+@given(rows=ROWS, t=st.integers(min_value=-1000, max_value=1000))
+@SLOW_SPARK
+def test_filter_project_matches_python(spark, rows, t):
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "A long, B long, C long")
+    if not rows:
+        df = df.limit(0)
+    got = sorted((r.A, r.B) for r in R.project(R.filter_rows(df, F.col("A") > t), "A", "B").collect())
+    want = sorted((a, b) for a, b, _ in rows if a > t)
+    assert got == want
+
+
+@given(rows=ROWS)
+@SLOW_SPARK
+def test_distinct_matches_python(spark, rows):
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "A long, B long, C long")
+    if not rows:
+        df = df.limit(0)
+    got = sorted((r.A, r.B) for r in R.distinct(R.project(df, "A", "B")).collect())
+    want = sorted({(a, b) for a, b, _ in rows})
+    assert got == want
+
+
+@given(rows=ROWS, t=st.integers(min_value=-1000, max_value=1000))
+@SLOW_SPARK
+def test_aggregates_respect_where(spark, rows, t):
+    """max/min/sum/count AFTER the filter — on every input, including
+    all-filtered (NULL max/min, 0 count) and empty tables."""
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "A long, B long, C long")
+    if not rows:
+        df = df.limit(0)
+    out = R.aggregate(
+        R.filter_rows(df, F.col("A") > t),
+        F.max("B").alias("mx"),
+        F.min("B").alias("mn"),
+        F.sum("B").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    kept = [b for a, b, _ in rows if a > t]
+    assert out.n == len(kept)
+    assert out.mx == (max(kept) if kept else None)
+    assert out.mn == (min(kept) if kept else None)
+    assert out.s == (sum(kept) if kept else None)

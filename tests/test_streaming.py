@@ -171,3 +171,32 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     assert dropped == 1
     rows = {(r.win.start.isoformat(), r.n) for r in spark.table(name).collect()}
     assert rows == {("2024-01-01T00:00:00", 1), ("2024-01-01T02:00:00", 1)}, rows
+
+
+def test_stream_to_parquet_sink(spark, sf_dir, events_batch, tmp_path):
+    """End-to-end incremental ETL shape: readStream → projection →
+    parquet sink with checkpoint. The bounded run must land exactly the
+    batch row count, and the checkpoint makes a re-run a no-op (no
+    double-writes) — the exactly-once file-sink contract."""
+    from sql_engine_spark.streaming import windows as SW
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run() -> None:
+        q = (
+            SW.read_events_stream(spark, sf_dir)
+            .select("event_id", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    n = events_batch.count()
+    assert spark.read.parquet(out).count() == n
+    run()  # same checkpoint, no new input → nothing appended
+    assert spark.read.parquet(out).count() == n
