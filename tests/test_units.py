@@ -69,3 +69,37 @@ def test_frame_sample_matches_local_recomputation(spark, sf_dir):
             frame = data[i * 64 : (i + 1) * 64]
             expect[(r.doc_id, i)] = (len(frame), hashlib.sha256(frame).hexdigest())
     assert got == expect
+
+
+def test_cli_main_reference_mode(spark, capsys):
+    import os
+
+    from sql_engine_spark.__main__ import main
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    rc = main(["select A from table1 where A > 0 order by A", "--catalog", fixtures])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for v in ("411", "640", "775", "858", "922"):
+        assert v in out
+
+
+def test_cli_main_csv_sink(spark, tmp_path):
+    import os
+
+    from sql_engine_spark.__main__ import main
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    dest = str(tmp_path / "out_csv")
+    rc = main(["select distinct A, B from table1;", "--catalog", fixtures, "--output", dest])
+    assert rc == 0
+    rows = spark.read.option("header", "true").csv(dest)
+    assert rows.count() == 10
+
+
+def test_run_sql_bind_params(spark):
+    from sql_engine_spark.sql import run_sql
+
+    spark.range(10).createOrReplaceTempView("bind_t")
+    assert run_sql(spark, "select count(*) as n from bind_t where id > :lo", {"lo": 6}).first().n == 3
+    assert run_sql(spark, "select count(*) as n from bind_t where id > ?", [6]).first().n == 3
