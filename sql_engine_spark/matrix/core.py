@@ -1140,3 +1140,30 @@ def g31_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") == F.col("__mx"))
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     )
+
+
+@query(
+    "g32_array_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list(s_name ORDER BY s_name), ',') AS suppliers,
+           CAST(len(list(s_name)) AS BIGINT) AS n_suppliers,
+           list(s_name ORDER BY s_name)[1] AS first_supplier
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def g32_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + element access (engine extension — SURVEY.md
+    §2.2 lists array functions as absent from the reference): grouped
+    collect with a deterministic sort, joined to a string for exact
+    cross-engine comparison."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    j = n.join(s, F.col("s_nationkey") == F.col("n_nationkey"))
+    arr = F.sort_array(F.collect_list("s_name"))
+    return j.groupBy("n_nationkey").agg(
+        F.array_join(arr, ",").alias("suppliers"),
+        F.size(arr).cast("long").alias("n_suppliers"),
+        F.element_at(arr, 1).alias("first_supplier"),
+    )

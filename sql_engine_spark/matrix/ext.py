@@ -626,3 +626,97 @@ def x22_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-based sentiment scoring (operators/text.sentiment_score):
     literal-folded polarity lexicon, scan-stage only."""
     return T.sentiment_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x23_hierarchical_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             CAST((epoch_ms(ts) - epoch_ms(ts) % 3600000)/1000 AS BIGINT) AS hsecs
+      FROM events
+    )
+    SELECT STRFTIME(make_timestamp(hsecs*1000000), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM b GROUP BY 1, 2
+    """,
+)
+def x23_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: a 1-minute pre-aggregate
+    (the materialized continuous-aggregate shape) re-aggregated to
+    1-hour answers. Integer-cents partials compose exactly, so the
+    two-level result is bit-identical to aggregating the raw events —
+    which is precisely what the oracle computes. At 100 TB the 1-minute
+    rollup is a persisted table ~1000× smaller than the raw stream;
+    every coarser window reads it instead of the raw data."""
+    e = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    minute = ((ms - ms % 60000) / 1000).cast("long")
+    rollup_1m = e.groupBy(minute.alias("msecs"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("c")
+    )
+    hour = (F.col("msecs") - F.col("msecs") % 3600).cast("long")
+    return (
+        rollup_1m.groupBy(hour.alias("hsecs"), "event_type")
+        .agg(F.sum("n").alias("n_events"), from_cents(F.sum("c")).alias("sum_value"))
+        .select(
+            F.date_format(F.timestamp_seconds(F.col("hsecs")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "x24_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+           c.value AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def x24_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.asof_join): each purchase gets the
+    user's most recent prior-or-equal click. Union+window shape — one
+    shuffle on user_id, no inequality join — checked against DuckDB's
+    native ASOF LEFT JOIN."""
+    from sql_engine_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, key="user_id", ts_col="ts", right_value_cols=("value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
+@query(
+    "x25_range_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           epoch_ms(a.ts) - epoch_ms(b.ts) AS dt_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
+    """,
+)
+def x25_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join (operators/temporal.range_join_pairs): same-user
+    event pairs within 10 minutes, via bucket-quantized equi-join —
+    result identical to the naive inequality join the oracle runs, cost
+    scales with matches instead of n²."""
+    from sql_engine_spark.operators.temporal import range_join_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    return range_join_pairs(e, key="user_id", ts_col="ts", id_col="event_id", band_ms=600_000)
