@@ -720,3 +720,12 @@ def x25_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return range_join_pairs(e, key="user_id", ts_col="ts", id_col="event_id", band_ms=600_000)
+
+
+@query("x26_multimodal_resize")  # byte-cycle fake resize; multibyte text ↛ SQL substring → rows-only
+def x26_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads (operators/multimodal.
+    resize_images): Arrow-batched mapInPandas, fixed 32×32-byte output
+    per row; deterministic content asserted in tests/test_units.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_images(M.attach_payload(docs))

@@ -111,6 +111,58 @@ def frame_sample(df: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataF
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_sha256", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image-resize plumbing via ``mapInPandas``: decode → resize →
+    re-emit a fixed-size payload summary. The geometric resize itself
+    needs an image library (Pillow) and is stubbed in
+    :func:`decode_media` terms — for the ``text/plain`` fake the
+    "resize" is a deterministic truncate/cycle of the payload to
+    width·height bytes, so batch shape, schema, and determinism are
+    fully exercised. Swap the inner function for a Pillow call and
+    nothing else changes."""
+    target = width * height
+
+    def _resize_bytes(data: bytes) -> bytes:
+        if not data:
+            return bytes(target)
+        reps = (target + len(data) - 1) // len(data)
+        return (data * reps)[:target]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "resized_bytes": [], "resized_sha256": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                data = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
+                r = _resize_bytes(data)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["resized_bytes"].append(len(r))
+                out["resized_sha256"].append(hashlib.sha256(r).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "resized_bytes": pd.Series(out["resized_bytes"], dtype="int64"),
+                    "resized_sha256": pd.Series(out["resized_sha256"], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow-batched, one Python process per task, zero row-at-a-time

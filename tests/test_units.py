@@ -103,3 +103,19 @@ def test_run_sql_bind_params(spark):
     spark.range(10).createOrReplaceTempView("bind_t")
     assert run_sql(spark, "select count(*) as n from bind_t where id > :lo", {"lo": 6}).first().n == 3
     assert run_sql(spark, "select count(*) as n from bind_t where id > ?", [6]).first().n == 3
+
+
+def test_resize_images_deterministic(spark, sf_dir):
+    import hashlib
+
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.operators.multimodal import attach_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    got = {r.doc_id: (r.width, r.height, r.resized_bytes, r.resized_sha256)
+           for r in resize_images(attach_payload(docs)).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        data = r.text.encode("utf-8")
+        reps = (1024 + len(data) - 1) // len(data)
+        expect = (data * reps)[:1024]
+        assert got[r.doc_id] == (32, 32, 1024, hashlib.sha256(expect).hexdigest())
