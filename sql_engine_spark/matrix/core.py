@@ -1167,3 +1167,103 @@ def g32_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(arr).cast("long").alias("n_suppliers"),
         F.element_at(arr, 1).alias("first_supplier"),
     )
+
+
+@query(
+    "g33_window_frames",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {sql_cents('o_totalprice')} AS price_c,
+           CAST(SUM({sql_cents('o_totalprice')}) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_c,
+           CAST(SUM({sql_cents('o_totalprice')}) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c,
+           COALESCE(CAST(LAG({sql_cents('o_totalprice')}) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT), -1) AS prev_c,
+           COALESCE(CAST(LEAD({sql_cents('o_totalprice')}) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT), -1) AS next_c
+    FROM orders
+    """,
+)
+def g33_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs — ROWS BETWEEN rolling/running sums plus
+    LAG/LEAD (engine extension; SURVEY.md §2.2 notes frame specs are
+    absent from the reference). All four analytics share ONE window
+    partitioning (o_custkey), so Spark plans a single shuffle + sort
+    and evaluates every frame in the same Window operator — the shape
+    that survives a 100× scale-up. Exact integer cents keep the rolling
+    sums order-independent and bit-stable cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    p = cents("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        p.alias("price_c"),
+        F.sum(p).over(w.rowsBetween(-2, 0)).cast("long").alias("rolling3_c"),
+        F.sum(p).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("running_c"),
+        F.coalesce(F.lag(p).over(w).cast("long"), F.lit(-1)).alias("prev_c"),
+        F.coalesce(F.lead(p).over(w).cast("long"), F.lit(-1)).alias("next_c"),
+    )
+
+
+@query(
+    "g34_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           {sql_sum_dollars('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """,
+)
+def g34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (generalizes g22 ROLLUP / g29 CUBE):
+    planned as one scan + Expand (3 replicas) + single hash aggregation
+    — no per-set rescans, the shape that matters at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "g35_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {sql_cents('l_quantity')} END) AS BIGINT), 0) AS qty_f_c,
+           COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {sql_cents('l_quantity')} END) AS BIGINT), 0) AS qty_o_c,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def g35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (groupBy().pivot(values)):
+    lowers to conditional aggregation in a single pass — identical plan
+    shape to the CASE-WHEN oracle, no second scan. Always pass the
+    pivot values explicitly at scale: omitting them triggers an eager
+    distinct-collect job over 100 TB before planning even starts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(cents("l_quantity")).cast("long").alias("qty_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_qty_c"), F.lit(0)).alias("qty_f_c"),
+        F.coalesce(F.col("O_qty_c"), F.lit(0)).alias("qty_o_c"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+    )

@@ -729,3 +729,84 @@ def x26_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row; deterministic content asserted in tests/test_units.py."""
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_images(M.attach_payload(docs))
+
+
+@query(
+    "x27_skyline",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+)
+def x27_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over part (minimize retail price AND
+    size): two-phase distributed skyline — shuffle-free partition-local
+    pruning (mapInPandas, lossless because skyline(S) = skyline of the
+    union of partition skylines) then a broadcast anti-join refine over
+    the tiny candidate set (operators/skyline.py; PAPERS.md EDBT 2023).
+    The O(n²) NOT EXISTS oracle checks it exactly."""
+    from sql_engine_spark.operators.skyline import skyline_2d
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return skyline_2d(p, "p_retailprice", "p_size")
+
+
+@query(
+    "x28_stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM r WHERE rn <= CEIL(n * 0.1)
+    """,
+)
+def x28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-fraction stratified sampling (10% per lang,
+    keep-smallest-doc_id policy): reproducible train/eval splits a data
+    pipeline can re-derive bit-identically, unlike Bernoulli sampleBy
+    (operators/relational.stratified_sample_exact; one shuffle serves
+    rank + count)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    from sql_engine_spark.operators.relational import stratified_sample_exact
+
+    return stratified_sample_exact(docs, ["lang"], "doc_id", 0.1)
+
+
+@query(
+    "s05_stream_session_window",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), y AS (
+      SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s FROM x
+    ), z AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM y
+    )
+    SELECT STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, COUNT(*) AS n_events
+    FROM z GROUP BY user_id, sid
+    """,
+)
+def s05_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows via F.session_window (native
+    merging session state, 30-min gap; streaming/windows.py). Bounded
+    complete-mode output equals batch gaps-and-islands sessionization,
+    which the oracle reproduces with LAG + running sum. Unlike the
+    applyInPandasWithState variant (s02), the native operator emits
+    every session on the bounded run, so this one is fully
+    oracle-checked."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    return SW.run_to_batch(
+        SW.session_window_agg(stream, gap="30 minutes"), output_mode="complete"
+    )

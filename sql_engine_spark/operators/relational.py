@@ -151,3 +151,29 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(
         F.sum("__s").alias(sum_alias), F.sum("__n").cast("long").alias(count_alias)
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame, strata: list[str], order_by: str, fraction: float
+) -> DataFrame:
+    """Deterministic exact-fraction stratified sampling: keep the first
+    ``ceil(n_g * fraction)`` rows of each stratum in ``order_by`` order.
+    Unlike ``sampleBy`` (Bernoulli per row — nondeterministic across
+    engines and only approximate per group), this is reproducible and
+    hits the target count exactly, so a training-data pipeline can
+    re-derive the identical sample from the identical snapshot.
+
+    One shuffle on the strata keys serves both the per-group count and
+    the row_number ranking (same window partitioning). At 100 TB the
+    caveat is a giant stratum serializing through one reducer's sort —
+    acceptable for lang/source-sized strata; for pathological strata,
+    pre-aggregate counts and filter on a salted rank instead.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*strata)
+    ranked = df.withColumn("__rn", F.row_number().over(w.orderBy(order_by))).withColumn(
+        "__n", F.count(F.lit(1)).over(w)
+    )
+    return ranked.filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction)).drop("__rn", "__n")

@@ -68,3 +68,61 @@ def test_aggregates_respect_where(spark, rows, t):
     assert out.mx == (max(kept) if kept else None)
     assert out.mn == (min(kept) if kept else None)
     assert out.s == (sum(kept) if kept else None)
+
+
+def _brute_skyline(points):
+    out = []
+    for a in points:
+        if not any(
+            b[0] <= a[0] and b[1] <= a[1] and (b[0] < a[0] or b[1] < a[1]) for b in points
+        ):
+            out.append(a)
+    return sorted(out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@SLOW_SPARK
+def test_skyline_matches_brute_force(spark, rows):
+    """Random point sets (dense → many ties/duplicates) through the
+    two-phase distributed skyline vs the O(n²) definition. Exercises
+    the partition-local pruning across multiple partitions."""
+    from sql_engine_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(rows or [(0, 0)], "x long, y long").repartition(4)
+    if not rows:
+        df = df.limit(0)
+    got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+    assert got == _brute_skyline(rows)
+
+
+def _local_skyline_pd(rows):
+    import pandas as pd
+
+    from sql_engine_spark.operators.skyline import _local_skyline_2d
+
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+    return sorted(map(tuple, _local_skyline_2d(pdf, "x", "y").to_numpy()))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10), st.integers(min_value=0, max_value=10)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_local_skyline_sweep_matches_brute_force(rows):
+    """The vectorized sort+prefix-min sweep alone (no Spark) vs brute
+    force — the kernel every partition runs at scale."""
+    assert _local_skyline_pd(rows) == _brute_skyline(rows)
