@@ -66,6 +66,23 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(sz >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles hashed to int64 (xxhash64), sorted.
+    Set semantics (and therefore Jaccard) are preserved modulo 64-bit
+    collisions (~n²/2⁶⁵ — negligible at any corpus size), while every
+    downstream shuffle, join key, and intersection becomes fixed-width
+    integer work instead of string work."""
+    w = tokens(text)
+    sz = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
+    )
+    return F.when(sz >= n, F.sort_array(F.array_distinct(grams))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def _ceil_frac(sz: Column, threshold: float) -> Column:
     """ceil(threshold * sz) in exact integer arithmetic. A double
     multiply can land an ulp above the true product (0.8*45 →
@@ -103,21 +120,24 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs via a prefix-filtered
     inverted index (AllPairs/PPJoin family, Bayardo et al. WWW'07).
 
-    Plan: shingle each doc → sort shingles into a global (lexicographic)
-    order → explode only the PREFIX (first sz − ⌈t·sz⌉ + 1 shingles):
-    any pair with J ≥ t must share a prefix shingle, so candidate
-    generation stays exact while exploding ~(1−t) of each doc and
-    meeting only pairs whose prefixes collide (~(1−t)² of the naive
-    inverted-index candidates). A length filter (t·max ≤ min) prunes
-    size-incompatible pairs inside the join. Survivors are verified
+    Plan: shingle each doc → hash shingles to int64 → sort into the
+    global hash order → explode only the PREFIX (first sz − ⌈t·sz⌉ + 1
+    shingles): any pair with J ≥ t must share a prefix shingle, so
+    candidate generation stays exact while exploding ~(1−t) of each doc
+    and meeting only pairs whose prefixes collide (~(1−t)² of the naive
+    inverted-index candidates). Inside the join, a length filter
+    (t·max ≤ min) prunes size-incompatible pairs and the PPJoin
+    positional filter prunes pairs whose first prefix collision sits too
+    deep to still reach the overlap threshold. Survivors are verified
     with an exact array_intersect Jaccard.
 
-    Scale notes: the shuffle key is the shingle; a shingle in m-doc
-    prefixes contributes m(m−1)/2 candidates, so hot shingles are the
-    skew risk — lexicographic order is corpus-independent; a
-    document-frequency order (rarest-first prefixes) is the classic
-    upgrade if skew shows up. The sub-quadratic 100 TB path is
-    :func:`minhash_lsh_pairs`. Output: (id_a, id_b, jaccard), id_a < id_b.
+    Scale notes: the shuffle key is the hashed shingle; a shingle in
+    m-doc prefixes contributes m(m−1)/2 candidates, so hot shingles are
+    the skew risk — hash order is corpus-independent and spreads
+    adjacent shingles uniformly; a document-frequency order
+    (rarest-first prefixes) is the classic upgrade if skew shows up.
+    The sub-quadratic 100 TB path is :func:`minhash_lsh_pairs`.
+    Output: (id_a, id_b, jaccard), id_a < id_b.
     """
     # No size>0 filter here: empty shingle arrays explode to zero rows
     # anyway, and a deterministic filter would be pushed below the
@@ -127,15 +147,28 @@ def ngram_jaccard_pairs(
     # candidate generation and of verification); persist it so the
     # expensive shingle expression is computed and codegen-compiled
     # once. MEMORY_AND_DISK spills at scale; size is O(corpus shingles).
+    # Shingles are int64 hashes (shingle_hashes): integer join keys and
+    # integer intersections, no string shuffles.
     sh = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), F.sort_array(shingles(text_col, n)).alias("sh"))
+        .select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
         .withColumn("sz", F.size("sh"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (F.col("sz") - _ceil_frac(F.col("sz"), threshold) + 1).cast("int")
-    ex = sh.select("id", "sz", F.explode(F.slice("sh", 1, prefix_len)).alias("s"))
+    ex = sh.select(
+        "id", "sz", F.posexplode(F.slice("sh", 1, prefix_len)).alias("p", "s")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     num = round(threshold * 1_000_000)
+    # PPJoin positional filter: J ≥ t ⟺ overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉,
+    # and a pair first meeting at 0-based prefix positions (p_a, p_b) can
+    # overlap at most min(|A|−p_a, |B|−p_b) — prune below α. Integer
+    # arithmetic throughout (α = ceil(num·(sz_a+sz_b)/(10⁶+num))).
+    denom = 1_000_000 + num
+    alpha = F.floor(
+        ((F.col("a.sz") + F.col("b.sz")) * num + (denom - 1)) / F.lit(denom)
+    )
+    ubound = F.least(F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p"))
     cands = (
         a.join(
             b,
@@ -145,7 +178,8 @@ def ngram_jaccard_pairs(
             & (
                 F.least(F.col("a.sz"), F.col("b.sz")) * 1_000_000
                 >= F.greatest(F.col("a.sz"), F.col("b.sz")) * num
-            ),
+            )
+            & (ubound >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
