@@ -810,3 +810,32 @@ def s05_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.run_to_batch(
         SW.session_window_agg(stream, gap="30 minutes"), output_mode="complete"
     )
+
+
+@query("x29_sketch_profile")  # approximate (HLL/quantile-sketch) → rows-only
+def x29_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass sketch profile of lineitem (operators/sketches.py):
+    HyperLogLog distinct counts, quantile-sketch p50/p95, exact heavy
+    hitters — the scan-once data-profiling pass a 100 TB ingest runs
+    first. Approximate by construction → rows-only check here; error
+    bounds vs exact recomputation are asserted in tests/test_sketches.py."""
+    from sql_engine_spark.operators.sketches import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        li,
+        numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        categorical_cols=["l_returnflag", "l_linestatus"],
+    )
+
+
+@query("x30_mergeable_distinct")  # DataSketches HLL binaries → rows-only
+def x30_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL: per-source distinct doc vocabulary
+    sketches + a __total__ row from the sketch UNION (no second scan) —
+    the shard-then-merge shape incremental 100 TB profiling needs
+    (operators/sketches.mergeable_distinct)."""
+    from sql_engine_spark.operators.sketches import mergeable_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mergeable_distinct(docs, "source", "doc_id")
