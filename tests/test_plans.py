@@ -133,3 +133,52 @@ def test_q18_semi_join(spark, sf_dir):
     plan = _plan(matrix.QUERIES["q18_large_orders"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_skyline_refine_is_broadcast_not_cartesian(spark, sf_dir):
+    """x27: the global refine must be a broadcast nested-loop ANTI join
+    over the pruned candidate set — never a shuffled cartesian product,
+    and the local pruning stage adds no shuffle (mapInPandas only)."""
+    plan = _plan(matrix.QUERIES["x27_skyline"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 1  # only the broadcast exchange
+
+
+def test_pivot_is_single_scan(spark, sf_dir):
+    """g35: PIVOT with explicit values lowers to one conditional
+    aggregation — exactly one scan of lineitem, no join, no expand."""
+    plan = _plan(matrix.QUERIES["g35_pivot"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """g34: GROUPING SETS plans as one scan + one Expand + one hash
+    aggregation — not one rescan per grouping set."""
+    plan = _plan(matrix.QUERIES["g34_grouping_sets"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Expand") == 1
+
+
+def test_window_frames_share_one_window_operator(spark, sf_dir):
+    """g33: four analytics over the same (partition, order) must share a
+    single Window operator and a single shuffle on o_custkey."""
+    plan = _plan(matrix.QUERIES["g33_window_frames"](spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    """x28: rank + per-stratum count reuse one hashpartitioning(lang)
+    exchange; the filter happens post-window with no extra shuffle."""
+    plan = _plan(matrix.QUERIES["x28_stratified_sample"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_sketch_profile_partial_aggregation(spark, sf_dir):
+    """x29: every sketch aggregates map-side first (partial_ HLL /
+    percentile objects), so the profile of a 100 TB table moves only
+    constant-size state per partition."""
+    plan = _plan(matrix.QUERIES["x29_sketch_profile"](spark, sf_dir))
+    assert "partial_approx_count_distinct" in plan or "partial_" in plan
