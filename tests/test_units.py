@@ -119,3 +119,28 @@ def test_resize_images_deterministic(spark, sf_dir):
         reps = (1024 + len(data) - 1) // len(data)
         expect = (data * reps)[:1024]
         assert got[r.doc_id] == (32, 32, 1024, hashlib.sha256(expect).hexdigest())
+
+
+def test_io_round_trips_all_formats(spark, sf_dir, tmp_path):
+    """Every reader/writer pair preserves rows and schema: parquet, ORC,
+    CSV (schema-explicit), and line-delimited JSON."""
+    from sql_engine_spark.sources import io, sinks
+
+    src = io.read_parquet(spark, f"{sf_dir}/nation.parquet")
+    want = sorted(map(tuple, src.collect()))
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+
+    sinks.write_parquet(src, str(tmp_path / "p"))
+    assert sorted(map(tuple, io.read_parquet(spark, str(tmp_path / "p")).collect())) == want
+
+    sinks.write_orc(src, str(tmp_path / "o"))
+    assert sorted(map(tuple, io.read_orc(spark, str(tmp_path / "o")).collect())) == want
+
+    sinks.write_csv(src, str(tmp_path / "c"))
+    got_csv = io.read_csv(spark, str(tmp_path / "c"), ddl)
+    assert sorted(map(tuple, got_csv.collect())) == want
+    assert got_csv.schema == src.schema
+
+    sinks.write_json(src, str(tmp_path / "j"))
+    got_json = io.read_json(spark, str(tmp_path / "j"), ddl)
+    assert sorted(map(tuple, got_json.collect())) == want
