@@ -144,3 +144,43 @@ def test_io_round_trips_all_formats(spark, sf_dir, tmp_path):
     sinks.write_json(src, str(tmp_path / "j"))
     got_json = io.read_json(spark, str(tmp_path / "j"), ddl)
     assert sorted(map(tuple, got_json.collect())) == want
+
+
+def test_function_registry_sql_callable(spark, sf_dir):
+    """register_all makes the extension functions callable from SQL, and
+    the UDF results agree with their codegen expression twins."""
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.functions.registry import register_all
+    from sql_engine_spark.functions.vector import cosine_similarity, to_double_array
+
+    names = register_all(spark)
+    assert names == ["cosine_sim", "dot_product", "ngram_jaccard"]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("emb_reg_test")
+    got = spark.sql(
+        """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               cosine_sim(a.embedding, b.embedding) AS c,
+               dot_product(a.embedding, b.embedding) AS d
+        FROM emb_reg_test a JOIN emb_reg_test b ON a.vec_id + 1 = b.vec_id
+        WHERE a.vec_id < 20
+        """
+    ).collect()
+    assert len(got) == 20
+    import pyspark.sql.functions as F
+
+    a = emb.select(F.col("vec_id").alias("id_a"), to_double_array("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), to_double_array("embedding").alias("eb"))
+    expr = (
+        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        .filter(F.col("id_a") < 20)
+        .select("id_a", cosine_similarity(F.col("ea"), F.col("eb")).alias("c"))
+    )
+    want = {r.id_a: r.c for r in expr.collect()}
+    for r in got:
+        assert abs(r.c - want[r.id_a]) < 1e-9
+
+    txt = spark.sql("SELECT ngram_jaccard('a b c d', 'a b c e') AS j").first()
+    # shingles: {abc,bcd} vs {abc,bce} → 1/3
+    assert abs(txt.j - 1 / 3) < 1e-12
