@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "x06_sim_topk_brute",
     "x12_text_fingerprint",
     "x14_sessionize_batch",
+    "x27_skyline",
+    "x29_sketch_profile",
     "s01_stream_tumbling",
 ]
 

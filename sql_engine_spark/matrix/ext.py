@@ -839,3 +839,43 @@ def x30_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mergeable_distinct(docs, "source", "doc_id")
+
+
+@query(
+    "x31_embedding_centroid",
+    oracle="""
+    WITH x AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(ROUND(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS s
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(s) AS DOUBLE)/(1000000.0*COUNT(*)) AS centroid
+    FROM x GROUP BY label, dim
+    """,
+)
+def x31_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dim,
+    centroid): posexplode → fixed-point micro-units (round(v·10⁶) as
+    BIGINT) → integer partial sums → one double division at the end.
+    Integer partials make the parallel aggregation bit-identical to the
+    sequential oracle — the same trick money aggregates use, applied to
+    vector math. The shuffle key (label, dim) spreads one label's
+    vector across 64 reducers for free (dim acts as a built-in salt).
+    Centroids feed k-means seeding and IVF coarse quantizers (x18)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias("p", "v")
+    )
+    return (
+        ex.groupBy("label", (F.col("p") + 1).cast("long").alias("dim"))
+        .agg(
+            F.sum(F.round(F.col("v") * 1000000).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            (F.col("s").cast("double") / (F.lit(1000000.0) * F.col("n"))).alias("centroid"),
+        )
+    )
