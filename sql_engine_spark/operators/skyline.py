@@ -71,7 +71,17 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         for pdf in batches:
             yield _local_skyline_2d(pdf, x_col, y_col)
 
-    candidates = df.mapInPandas(prune, schema=schema)
+    # Both sides of the refine join read `candidates`; without a persist
+    # the pruning scan (the dominant cost at scale) would execute twice
+    # — once to build the broadcast, once as the probe side. The
+    # candidate set is skyline-sized (~polylog n), so caching it is
+    # cheap insurance, spilling to disk if a pathological frontier is
+    # large.
+    from pyspark import StorageLevel
+
+    candidates = df.mapInPandas(prune, schema=schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = candidates.alias("a")
     b = F.broadcast(candidates.alias("b"))
     ax, ay = F.col(f"a.{x_col}"), F.col(f"a.{y_col}")
