@@ -1267,3 +1267,53 @@ def g35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
         F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
     )
+
+
+@query(
+    "g36_not_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def g36_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) — plans as a null-aware anti join, which is NOT
+    the same as NOT EXISTS/left-anti (g13): one NULL in the subquery
+    result empties the output under three-valued logic. Spark and DuckDB
+    agree on the semantics; the matrix pins it because hand-rolling this
+    as a plain anti join is the classic silent-wrong-results rewrite."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("customer")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "g37_intersect_except_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    EXCEPT ALL
+    SELECT n_nationkey FROM nation WHERE n_nationkey < 3
+    """,
+)
+def g37_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiplicity-preserving) set
+    ops: each row appears min(m,n) resp. max(m−n,0) times. Spark plans
+    both as a single aggregation over a tagged union (count per side,
+    then generate), not a join — one shuffle each."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s).exceptAll(n)
