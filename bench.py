@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive",

@@ -1317,3 +1317,170 @@ def g37_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("nationkey")
     )
     return c.intersectAll(s).exceptAll(n)
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount')}) AS DOUBLE)/10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    pushes to the parquet scan and the whole query is one codegen stage
+    with a single-row result; the canonical test that filters reach
+    storage (at 100 TB this is the difference between reading a year
+    and reading everything)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (F.sum(cents("l_extendedprice") * cents("l_discount")).cast("double") / 10000.0).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol_c) AS DOUBLE)/10000.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             {sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}) AS vol_c
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    The two nation dims broadcast (twice, under different aliases); the
+    lineitem↔orders join is the only big shuffle. The nation-pair
+    disjunction is applied after the broadcast joins, where it prunes
+    to two name pairs before aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+                | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+            )
+            & (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+    )
+    vol_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            vol_c.alias("vol_c"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("vol_c").cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join with an extra join-side predicate
+    (COUNT of a nullable column counts only matches), then a second
+    aggregation over the counts. The o_orderpriority filter replaces
+    the original's o_comment NOT LIKE (the synthetic corpus has no
+    comment column). Two shuffles: join/group on c_custkey, then the
+    tiny distribution aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_partkey AS a_partkey,
+             COUNT(*) AS cnt,
+             SUM({sql_cents('l_quantity')}) AS sum_qty_c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM({sql_cents('l_extendedprice')}) AS DOUBLE)/100.0/7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN agg ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND {sql_cents('l_quantity')} * 5 * cnt < sum_qty_c
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20% of their part's average quantity.
+    The correlated AVG subquery is decorrelated by hand into one
+    per-part aggregate joined back (what Catalyst does internally for
+    the subquery form), and the 0.2·avg comparison is cross-multiplied
+    into exact integers (qty_c·5·cnt < Σqty_c) so no float average is
+    ever materialized — bit-stable under any partitioning. p_brand
+    replaces the original's brand+container pair (no p_container in
+    the synthetic corpus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(cents("l_quantity")).alias("sum_qty_c")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(agg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(cents("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty_c"))
+    )
+    return j.agg(
+        (F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -182,3 +182,20 @@ def test_sketch_profile_partial_aggregation(spark, sf_dir):
     constant-size state per partition."""
     plan = _plan(matrix.QUERIES["x29_sketch_profile"](spark, sf_dir))
     assert "partial_approx_count_distinct" in plan or "partial_" in plan
+
+
+def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
+    """q6: shipdate range, discount band, and quantity bound must ALL
+    appear in PushedFilters — the query that proves a year-slice of a
+    100 TB table reads a year, not the table."""
+    plan = _formatted(matrix.QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q7_broadcasts_both_nation_aliases(spark, sf_dir):
+    """q7: the nation dim joins twice under different aliases — both
+    must broadcast; the only shuffle joins are the fact-fact ones."""
+    plan = _plan(matrix.QUERIES["q7_nation_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
