@@ -31,13 +31,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return matrix.QUERIES["q5_local_supplier_volume"](spark, "/root/testdata/sf0.001")
 
 
+# Round-1's CORRECTNESS run recorded rows for exactly the FIRST 50
+# registered entries and none after — so the iteration order of this
+# dict decides which entries get a hard correctness signal under a
+# capped/budgeted driver run. Entries that still lack a driver row are
+# listed first (cheapest first, streaming last); the 50 already-green
+# round-1 entries follow. Names missing from the list (future
+# additions) sort first of all.
+_DRIVER_ORDER = [
+    # -- no CORRECTNESS row yet (round 1 stopped at 50) --------------
+    "x22_text_sentiment", "x28_stratified_sample", "x30_mergeable_distinct",
+    "x09_text_token_stats", "x17_text_bpe_tokens", "x19_multimodal_frames",
+    "x21_salted_agg", "x01_dedup_exact", "x25_range_join", "x26_multimodal_resize",
+    "q6_forecast_revenue", "x12_text_fingerprint", "x31_embedding_centroid",
+    "g32_array_funcs", "x10_text_quality", "x13_events_json", "x24_asof_join",
+    "x27_skyline", "x15_window_tumbling_batch", "x06_sim_topk_brute",
+    "x11_text_langid", "x14_sessionize_batch", "g36_not_in_subquery",
+    "x23_hierarchical_rollup", "x29_sketch_profile", "q13_customer_distribution",
+    "g35_pivot", "q17_small_quantity_revenue", "g33_window_frames",
+    "g34_grouping_sets", "g37_intersect_except_all", "q7_nation_volume",
+    "x04_dedup_minhash_lsh", "x16_multimodal_features", "x03_dedup_survivors",
+    "x07_sim_ann_lsh", "x18_sim_ivf", "x05_dedup_simhash", "x08_sim_dup_pairs",
+    "x02_dedup_ngram_jaccard", "x20_dedup_components",
+    "s03_stream_sliding", "s05_stream_session_window", "s01_stream_tumbling",
+    "s04_stream_dedup", "s02_stream_sessionize",
+    # -- green in CORRECTNESS_r01 ------------------------------------
+    "e01_scan_project", "e02_star", "e03_filter_comparisons",
+    "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",
+    "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
+    "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
+    "g03_group_by_having", "g04_union_all", "g05_union_distinct",
+    "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
+    "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
+    "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
+    "g18_null_handling", "g19_window_topn", "g20_scalar_subquery",
+    "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "g23_exists",
+    "g24_derived_table", "g25_regexp", "g26_bit_shift", "g27_date_funcs",
+    "g28_math_funcs", "g29_cube", "q4_order_priority", "q12_priority_class",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
+    "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
+]
+
+
+def _driver_sorted(d: dict) -> dict:
+    rank = {n: i for i, n in enumerate(_DRIVER_ORDER)}
+    return {k: d[k] for k in sorted(d, key=lambda n: rank.get(n, -1))}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(matrix.QUERIES)
+    return _driver_sorted(dict(matrix.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible entry.
     Entries absent here (MinHash/SimHash/ANN/stateful-streaming) are
     approximate or micro-batch-dependent ops → rows-only check."""
-    return dict(matrix.ORACLE)
+    return _driver_sorted(dict(matrix.ORACLE))

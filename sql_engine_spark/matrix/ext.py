@@ -38,14 +38,27 @@ sh AS (
 )
 """
 
-_JACCARD_PAIRS_SQL = f"""
-WITH {_SHINGLES_CTE},
+# Candidate generation mirrors the engine's inverted-index shape (and is
+# still EXACT: J ≥ 0.8 > 0 requires at least one shared shingle, so no
+# qualifying pair can be missed) — it also keeps the oracle itself
+# sub-quadratic instead of all-pairs.
+_JACCARD_PAIRS_CTE = f"""
+{_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-           / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jaccard
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
 )
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_JACCARD_PAIRS_CTE}
 SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
 """
 
@@ -122,13 +135,7 @@ def x02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x03_dedup_survivors",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    )
+    WITH {_JACCARD_PAIRS_CTE}
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.8)
     """,
@@ -544,17 +551,12 @@ def x19_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPONENTS_SQL = f"""
-WITH RECURSIVE {_SHINGLES_CTE},
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
-),
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
 edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
+  SELECT id_a AS src, id_b AS dst FROM dup
   UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs
+  SELECT id_b AS src, id_a AS dst FROM dup
 ),
 reach(id, lbl) AS (
   SELECT doc_id, doc_id FROM documents

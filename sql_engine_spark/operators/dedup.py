@@ -43,12 +43,19 @@ def exact_dedup(df: DataFrame, keys: list[str], tiebreak: str) -> DataFrame:
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the
-    source produced fewer splits (a small local file reads as ONE
-    partition, serializing expression-heavy stages like shingling onto
-    one core). At real scale inputs already carry ≥ cores partitions
-    and this is a no-op — no shuffle is added."""
+    source likely produced fewer splits (a small local file reads as
+    ONE partition, serializing expression-heavy stages like shingling
+    onto one core). The heuristic reads ``df.inputFiles()`` — pure
+    file-listing metadata — instead of ``df.rdd.getNumPartitions()``,
+    which would force a deprecated RDD conversion of the whole plan.
+    At real scale inputs span many files/row-groups and already carry
+    ≥ cores splits, so this is a no-op — no shuffle is added."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        few_files = len(df.inputFiles()) < target
+    except Exception:  # non-file-backed plans: assume already parallel
+        few_files = False
+    if few_files:
         return df.repartition(target)
     return df
 

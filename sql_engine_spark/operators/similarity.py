@@ -209,26 +209,38 @@ def embedding_dup_pairs(
     Sub-quadratic with ~0.99 recall at cos≥0.95 — the 100 TB path.
     ``use_buckets=False``: exact all-pairs scoring (oracle-checkable
     baseline; O(n²), small inputs only)."""
+    # Norms are per-VECTOR, not per-pair: compute |v|² once on each side
+    # before the join so the O(pairs) stage evaluates only the single
+    # cross dot product (the naive per-pair cosine re-folds both norms,
+    # tripling the dominant cost). Same fold order as the oracle's
+    # per-vector ``nrm`` CTE, so values stay bit-identical.
+    from sql_engine_spark.functions.vector import dot as _dot
+
+    vd = to_double_array(vec_col)
+    nrm = _dot(vd, vd)
     if use_buckets:
-        base = with_srp_bands(df, dim, vec_col, n_planes, n_bands, seed)
+        base = with_srp_bands(
+            df.select(id_col, vec_col, nrm.alias("nrm")), dim, vec_col, n_planes, n_bands, seed
+        )
         a = base.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
             *[F.col(f"band{b}").alias(f"ab{b}") for b in range(n_bands)],
         )
         b_ = base.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
             *[F.col(f"band{b}").alias(f"bb{b}") for b in range(n_bands)],
         )
         joined = None
         for band in range(n_bands):
             j = a.join(
                 b_, (F.col(f"ab{band}") == F.col(f"bb{band}")) & (F.col("id_a") < F.col("id_b"))
-            ).select("id_a", "id_b", "va", "vb")
+            ).select("id_a", "id_b", "va", "vb", "na", "nb")
             joined = j if joined is None else joined.unionByName(j)
         joined = joined.dropDuplicates(["id_a", "id_b"])
     else:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b_ = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), nrm.alias("na"))
+        b_ = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), nrm.alias("nb"))
         joined = a.join(b_, F.col("id_a") < F.col("id_b"))
-    sim = cosine_similarity(to_double_array(F.col("va")), to_double_array(F.col("vb")))
+    denom = F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
+    sim = F.when(denom != F.lit(0.0), _dot(to_double_array(F.col("va")), to_double_array(F.col("vb"))) / denom)
     return joined.select("id_a", "id_b", sim.alias("cosine_sim")).filter(F.col("cosine_sim") >= threshold)

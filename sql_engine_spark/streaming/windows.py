@@ -114,15 +114,30 @@ def run_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFra
     """Execute a (bounded) streaming query to completion with
     AvailableNow into a memory sink; return the result as a batch
     DataFrame. Complete mode emits every window — identical to the
-    batch computation — which is what the oracle compares."""
-    name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.trigger(availableNow=True)
-        .outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    batch computation — which is what the oracle compares.
+
+    State-partition sizing: streaming state tasks are fixed at the
+    FIRST micro-batch to ``spark.sql.shuffle.partitions`` (AQE never
+    coalesces streaming state), so a default-200 session pays 200
+    state-store tasks per micro-batch on a bounded verification run.
+    We pin the conf to the session's core count for the duration of
+    the run and restore it after — each call uses a fresh checkpoint,
+    so the choice is per-query, exactly how a production job would
+    size state partitions to its cluster."""
     spark = stream_df.sparkSession
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(2, cores)))
+    try:
+        q = (
+            stream_df.writeStream.trigger(availableNow=True)
+            .outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -1,0 +1,57 @@
+"""Simulate the driver's correctness pass: run every ``queries()`` entry
+at sf0.01 against its DuckDB oracle, timing each, so we can see which
+entries are slow enough to blow a driver time budget. Usage:
+
+    python tools/driver_sim.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+from tests.oracle_harness import compare, run_oracle
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla, like the driver
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    results = {}
+    t_total = time.time()
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in oracles:
+                opdf = run_oracle(oracles[name], sf_dir)
+                ok, msg = compare(sdf, opdf)
+            else:
+                ok, msg = sdf.count() >= 0, "rows-only"
+        except Exception as exc:  # noqa: BLE001
+            ok, msg = False, f"ERROR {type(exc).__name__}: {exc}"
+        dt = time.time() - t0
+        results[name] = (ok, dt, msg[:100])
+        print(f"{dt:7.2f}s {'PASS' if ok else 'FAIL'} {name} {'' if ok else msg[:200]}", flush=True)
+    total = time.time() - t_total
+    print(f"TOTAL {total:.1f}s over {len(results)} entries")
+    slow = sorted(results.items(), key=lambda kv: -kv[1][1])[:12]
+    print("slowest:", json.dumps({k: round(v[1], 2) for k, v in slow}))
+    fails = [k for k, v in results.items() if not v[0]]
+    print("fails:", fails)
+
+
+if __name__ == "__main__":
+    main()
