@@ -4,6 +4,18 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Methodology (round-2 upgrades per VERDICT.md):
+- Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); ``queries``
+  reports the MEDIAN and ``spread`` the [min, max], so one-off JIT /
+  cache effects are visible instead of silently recorded.
+- The measured action is a ``noop``-format write (all columns
+  materialized and shipped) instead of ``count()``, which lets Spark
+  prune every projection and under-measures wide outputs.
+- ``recall`` records ANN recall@10 of the approximate searchers (x07
+  SRP-LSH, x18 IVF) against the exact brute-force top-k (x06) at the
+  same scale factor, so the recall/latency tradeoff is tracked
+  round-over-round.
+
 Headline set: the three TPC-H-style plans (scan-agg, filtered 3-way
 join top-k, 6-way broadcast join), the heaviest Tier-X pipelines
 (near-dup dedup exact + LSH, similarity pair mining, sessionization),
@@ -15,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,8 +57,64 @@ BENCH_QUERIES = [
 ]
 
 
+def _run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # noop write: every output column is computed and serialized, so
+    # projection cost is paid (count() would prune it all away).
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _ann_recall(spark, sf_dir: str) -> dict:
+    """Recall@10 of the ANN searchers vs exact brute force, at several
+    operating points, each with its scan fraction — the whole tradeoff,
+    not one number. This corpus is isotropic (true top-10 sits at cos
+    ≈0.3–0.4, TESTDATA.md), so high recall necessarily costs a high
+    scan fraction; on a corpus with real near-neighbor structure the
+    same banding reaches it at a small fraction (see
+    tests/test_dedup_similarity.py for the planted-dup case)."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    qv = S.get_vector(emb, 0)
+    brute = {r.vec_id for r in S.cosine_topk(emb, qv, k=10, exclude_id=0).collect()}
+
+    def rec(df) -> float:
+        got = {r.vec_id for r in df.collect()}
+        return round(len(got & brute) / max(1, len(brute)), 3)
+
+    # SRP scan fractions: count rows passing the band filter.
+    banded = S.with_srp_bands(emb, len(qv))
+    qb = S._query_bands(qv, S.ANN_PLANES, S.ANN_BANDS, S.ANN_SEED)
+    bits = S.ANN_PLANES // S.ANN_BANDS
+    out = {}
+    for h in (0, 1, 2):
+        cond = None
+        for b, val in enumerate(qb):
+            allowed = [v for v in range(1 << bits) if bin(v ^ val).count("1") <= h]
+            c = F.col(f"band{b}").isin(allowed)
+            cond = c if cond is None else (cond | c)
+        frac = round(banded.filter(cond).count() / n_total, 3)
+        out[f"srp_h{h}"] = {
+            "recall_at_10": rec(S.ann_topk(emb, qv, k=10, exclude_id=0, probe_hamming=h)),
+            "scan_frac": frac,
+        }
+    for p in (4, 12):
+        out[f"ivf_p{p}"] = {
+            "recall_at_10": rec(S.ivf_topk(emb, qv, k=10, exclude_id=0, n_probe=p)),
+            "probe_frac": round(p / 16, 3),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     from sql_engine_spark import matrix
     from sql_engine_spark.session import get_spark
 
@@ -57,13 +126,17 @@ def main() -> None:
     matrix.QUERIES["e02_star"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = matrix.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = [_run_once(fn, spark, sf_dir) for _ in range(n_runs)]
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        print(f"# {name}: median {timings[name]:.3f}s over {n_runs} runs {spread[name]}", file=sys.stderr)
+
+    # ANN recall@10 vs the exact brute-force searcher, same sf.
+    recall = _ann_recall(spark, sf_dir)
+    print(f"# recall@10: {recall}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -79,6 +152,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": n_runs,
+                "spread": spread,
+                "recall": recall,
             }
         )
     )

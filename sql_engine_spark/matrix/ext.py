@@ -746,11 +746,11 @@ def x26_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x27_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto frontier over part (minimize retail price AND
-    size): two-phase distributed skyline — shuffle-free partition-local
-    pruning (mapInPandas, lossless because skyline(S) = skyline of the
-    union of partition skylines) then a broadcast anti-join refine over
-    the tiny candidate set (operators/skyline.py; PAPERS.md EDBT 2023).
-    The O(n²) NOT EXISTS oracle checks it exactly."""
+    size), expression-only: groupBy(x).min(y) (map-side partials = the
+    partition-local prune, zero Python workers) → prefix-min window
+    sweep over the tiny aggregated frontier → broadcast semi-join
+    recovery (operators/skyline.py; PAPERS.md EDBT 2023). The O(n²)
+    NOT EXISTS oracle checks it exactly."""
     from sql_engine_spark.operators.skyline import skyline_2d
 
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")

@@ -129,15 +129,26 @@ def ann_topk(
     n_bands: int = ANN_BANDS,
     seed: int = ANN_SEED,
     exclude_id: int | None = None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates are rows sharing ≥1 SRP band with the
-    query (OR of small-int equality filters — scan-stage, no shuffle),
-    exact cosine rerank on the survivors."""
+    query (OR of small-int equality/isin filters — scan-stage, no
+    shuffle), exact cosine rerank on the survivors.
+
+    ``probe_hamming`` enables multi-probe LSH (Lv et al., VLDB 2007):
+    each band also accepts values within that hamming distance of the
+    query's band value, trading scan fraction for recall — the knob
+    that matters on corpora whose true neighbors are far (low cosine),
+    where single-probe recall is structurally capped. Still a pure
+    scan-stage int filter; candidate count grows with
+    Σ_h C(bits, h) values per band."""
     qb = _query_bands(query_vec, n_planes, n_bands, seed)
+    bits = n_planes // n_bands
     banded = with_srp_bands(df, len(query_vec), vec_col, n_planes, n_bands, seed)
     cond = None
     for b, val in enumerate(qb):
-        c = F.col(f"band{b}") == val
+        allowed = [v for v in range(1 << bits) if bin(v ^ val).count("1") <= probe_hamming]
+        c = F.col(f"band{b}").isin(allowed) if len(allowed) > 1 else (F.col(f"band{b}") == val)
         cond = c if cond is None else (cond | c)
     cands = banded.filter(cond)
     return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)

@@ -2,89 +2,70 @@
 
 The reference has no skyline construct (SURVEY.md §2.2 "Not present
 anywhere"); design follows the Spark-SQL skyline work surveyed in
-PAPERS.md (skyline-in-Spark-SQL, EDBT 2023): the classic two-phase
-distributed skyline —
+PAPERS.md (skyline-in-Spark-SQL, EDBT 2023), re-expressed so the whole
+plan is JVM expressions — no Python workers anywhere:
 
-1. **Local pruning** (`mapInPandas`, Arrow-batched, no shuffle): each
-   partition computes its own 2-D skyline with a vectorized
-   sort + prefix-min sweep. Because ``skyline(S) = skyline(∪ᵢ
-   skyline(Pᵢ))`` for any partitioning P of S, dropping locally
-   dominated rows is lossless. At 100 TB this is the step that
-   matters: the surviving candidate set grows ~polylogarithmically
-   with n, so a 10⁹-row partition set reduces to thousands of
-   candidates without any data movement.
-2. **Global refine** (broadcast nested-loop anti-join): the small
-   candidate set is self-joined on the strict-dominance predicate;
-   rows with a dominating witness are anti-joined away. Catalyst
-   broadcasts the candidate set, so no shuffle here either.
+1. **Grouped pre-aggregation** (`groupBy(x).min(y)`): for a 2-D skyline
+   (both minimized) only the minimum-y row of each x-value can be on
+   the frontier. The hash aggregate's map-side partials ARE the
+   partition-local prune — each input partition emits at most its own
+   distinct-x count, with zero data movement beyond the one shuffle.
+2. **Prefix-min sweep** over the aggregated (x, ymin) relation: in x
+   order, a point is on the frontier iff its ymin is strictly below
+   the running minimum of all strictly-smaller x. One window over the
+   pre-aggregated relation (|distinct x| rows, typically orders of
+   magnitude below |rows|; if even that outgrows one task, the classic
+   two-level bucketed scan applies — bucket by x-range, sweep per
+   bucket, stitch with per-bucket minima).
+3. **Broadcast recovery join**: the frontier is skyline-sized
+   (~polylog n), so an equi-join on (x, y=ymin) back to the input
+   recovers every original row — exact duplicates all survive, and the
+   join broadcasts with no shuffle.
 
 Dominance (both dimensions minimized): ``b`` dominates ``a`` iff
 ``b.x <= a.x AND b.y <= a.y`` with strict ``<`` in at least one
 dimension. Exact ties (same x **and** y) dominate in neither
 direction, so duplicate points all survive — matching the standard
 definition and the NOT EXISTS SQL oracle.
+
+NULL dimensions: under SQL three-valued logic a row with a NULL x or y
+can never be dominated (every comparison against the NULL is unknown,
+so no witness qualifies) and can never dominate. Such rows bypass the
+sweep and pass straight through — the same rows the NOT EXISTS oracle
+keeps.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _local_skyline_2d(pdf: pd.DataFrame, x_col: str, y_col: str) -> pd.DataFrame:
-    """Vectorized 2-D skyline of one in-memory batch (both minimized).
-
-    Sort by (x, y); a row survives iff its y is strictly below the
-    running y-minimum of all strictly-smaller-x rows AND it attains the
-    y-minimum of its own x-group (equal-x rows with larger y are
-    dominated; exact duplicates all attain the minimum and survive).
-    """
-    if len(pdf) == 0:
-        return pdf
-    x = pdf[x_col].to_numpy()
-    y = pdf[y_col].to_numpy()
-    order = np.lexsort((y, x))
-    xs, ys = x[order], y[order]
-    prefix_min = np.minimum.accumulate(ys)
-    starts = np.concatenate(([True], xs[1:] != xs[:-1]))
-    group_id = np.cumsum(starts) - 1
-    start_idx = np.flatnonzero(starts)
-    # min y among rows with strictly smaller x = prefix min just before
-    # this x-group starts (+inf for the first group).
-    best_prev = np.concatenate(([np.inf], prefix_min[start_idx[1:] - 1]))[group_id]
-    group_min = ys[start_idx][group_id]  # ys sorted within group → first is min
-    keep_sorted = (ys < best_prev) & (ys == group_min)
-    keep = np.zeros(len(pdf), dtype=bool)
-    keep[order[keep_sorted]] = True
-    return pdf[keep]
+from pyspark.sql.window import Window
 
 
 def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Skyline of ``df`` minimizing (``x_col``, ``y_col``)."""
-    schema = df.schema
+    x, y = F.col(x_col), F.col(y_col)
+    nullish = x.isNull() | y.isNull()
+    body = df.filter(~nullish)
 
-    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _local_skyline_2d(pdf, x_col, y_col)
+    # Only the min-y row of each x can survive; map-side partials make
+    # this the shuffle-free local prune.
+    g = body.groupBy(x_col).agg(F.min(y_col).alias("__ymin"))
 
-    # Both sides of the refine join read `candidates`; without a persist
-    # the pruning scan (the dominant cost at scale) would execute twice
-    # — once to build the broadcast, once as the probe side. The
-    # candidate set is skyline-sized (~polylog n), so caching it is
-    # cheap insurance, spilling to disk if a pathological frontier is
-    # large.
-    from pyspark import StorageLevel
-
-    candidates = df.mapInPandas(prune, schema=schema).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Global prefix-min sweep: frontier x is strictly increasing with
+    # strictly decreasing ymin. The empty-frame window (no partition)
+    # runs as one task over the PRE-AGGREGATED relation only.
+    w = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        g.withColumn("__prev", F.min("__ymin").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__ymin") < F.col("__prev")))
+        .select(F.col(x_col).alias("__fx"), F.col("__ymin").alias("__fy"))
     )
-    a = candidates.alias("a")
-    b = F.broadcast(candidates.alias("b"))
-    ax, ay = F.col(f"a.{x_col}"), F.col(f"a.{y_col}")
-    bx, by = F.col(f"b.{x_col}"), F.col(f"b.{y_col}")
-    dominated_by = (bx <= ax) & (by <= ay) & ((bx < ax) | (by < ay))
-    return a.join(b, on=dominated_by, how="left_anti")
+
+    kept = body.join(
+        F.broadcast(frontier),
+        (x == F.col("__fx")) & (y == F.col("__fy")),
+        "left_semi",
+    )
+    # NULL-dimension rows are never dominated (3VL) — pass through.
+    return kept.unionByName(df.filter(nullish))

@@ -100,6 +100,23 @@ def test_ann_recall_vs_brute(emb):
     assert recall >= 0.5, f"ANN recall@10 {recall:.2f}"
 
 
+def test_ann_multiprobe_monotone_and_exhaustive(emb):
+    """Multi-probe (probe_hamming) must be recall-monotone, and probing
+    every band value (h = bits per band) must recover brute force
+    exactly — the exhaustive-probe invariant."""
+    qv = S.get_vector(emb, 0)
+    brute = [r.vec_id for r in S.cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    last = -1.0
+    for h in (0, 1):
+        ann = [r.vec_id for r in S.ann_topk(emb, qv, k=10, exclude_id=0, probe_hamming=h).collect()]
+        recall = len(set(ann) & set(brute)) / len(brute)
+        assert recall >= last, f"recall dropped at h={h}"
+        last = recall
+    bits = S.ANN_PLANES // S.ANN_BANDS
+    full = [r.vec_id for r in S.ann_topk(emb, qv, k=10, exclude_id=0, probe_hamming=bits).collect()]
+    assert full == brute
+
+
 def test_bucketed_dup_pairs_subset_of_exact(emb):
     """Banded SRP pair mining must be a subset of the exact result with
     usable recall. At cos≈0.4 (this corpus's top percentile; it has no

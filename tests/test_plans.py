@@ -135,14 +135,17 @@ def test_q18_semi_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_skyline_refine_is_broadcast_not_cartesian(spark, sf_dir):
-    """x27: the global refine must be a broadcast nested-loop ANTI join
-    over the pruned candidate set — never a shuffled cartesian product,
-    and the local pruning stage adds no shuffle (mapInPandas only)."""
+def test_skyline_plan_is_expression_only(spark, sf_dir):
+    """x27: the whole skyline plan must stay JVM-side — no Python
+    workers (the round-1 mapInPandas prune cost 7s of worker spin-up),
+    no cartesian/nested-loop join. Recovery is a broadcast semi join;
+    the only shuffles are the groupBy(x) aggregate and the
+    single-partition window over the pre-aggregated frontier."""
     plan = _plan(matrix.QUERIES["x27_skyline"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
-    assert "CartesianProduct" not in plan
-    assert plan.count("Exchange") <= 1  # only the broadcast exchange
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # the groupBy(x) shuffle
 
 
 def test_pivot_is_single_scan(spark, sf_dir):
