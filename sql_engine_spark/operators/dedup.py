@@ -101,6 +101,30 @@ def _ceil_frac(sz: Column, threshold: float) -> Column:
     return F.floor((sz.cast("long") * num + (1_000_000 - 1)) / F.lit(1_000_000)).cast("long")
 
 
+def _prefix_tokens(sh: DataFrame, threshold: float, prefix_order: str) -> DataFrame:
+    """(id, sz, p, s) rows for each doc's PREFIX shingles, positioned in
+    the chosen global total order. Any global order is exact for the
+    prefix filter (Bayardo et al.); see :func:`ngram_jaccard_pairs` for
+    the skew tradeoff between the two orders."""
+    prefix_len = (F.col("sz") - _ceil_frac(F.col("sz"), threshold) + 1).cast("int")
+    if prefix_order == "hash":
+        # shingle_hashes already emits hash-sorted arrays.
+        return sh.select("id", "sz", F.posexplode(F.slice("sh", 1, prefix_len)).alias("p", "s"))
+    if prefix_order != "df":
+        raise ValueError(f"prefix_order must be 'df' or 'hash', got {prefix_order!r}")
+    toks = sh.select("id", "sz", F.explode("sh").alias("s"))
+    freq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("freq"))
+    ordered = (
+        toks.join(freq, "s")
+        .groupBy("id", "sz")
+        # array_sort on struct compares fields in order → (freq, s)
+        # ascending = rarest-first with a deterministic hash tiebreak.
+        .agg(F.array_sort(F.collect_list(F.struct("freq", "s"))).alias("os"))
+        .withColumn("osh", F.transform("os", lambda x: x["s"]))
+    )
+    return ordered.select("id", "sz", F.posexplode(F.slice("osh", 1, prefix_len)).alias("p", "s"))
+
+
 def _verify_pairs_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs: fetch both
     distinct-shingle arrays, |∩| via array_intersect. Two hash joins on
@@ -123,12 +147,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via a prefix-filtered
     inverted index (AllPairs/PPJoin family, Bayardo et al. WWW'07).
 
-    Plan: shingle each doc → hash shingles to int64 → sort into the
-    global hash order → explode only the PREFIX (first sz − ⌈t·sz⌉ + 1
+    Plan: shingle each doc → hash shingles to int64 → sort into a
+    GLOBAL total order → explode only the PREFIX (first sz − ⌈t·sz⌉ + 1
     shingles): any pair with J ≥ t must share a prefix shingle, so
     candidate generation stays exact while exploding ~(1−t) of each doc
     and meeting only pairs whose prefixes collide (~(1−t)² of the naive
@@ -138,13 +163,22 @@ def ngram_jaccard_pairs(
     deep to still reach the overlap threshold. Survivors are verified
     with an exact array_intersect Jaccard.
 
-    Scale notes: the shuffle key is the hashed shingle; a shingle in
-    m-doc prefixes contributes m(m−1)/2 candidates, so hot shingles are
-    the skew risk — hash order is corpus-independent and spreads
-    adjacent shingles uniformly; a document-frequency order
-    (rarest-first prefixes) is the classic upgrade if skew shows up.
-    The sub-quadratic 100 TB path is :func:`minhash_lsh_pairs`.
+    ``prefix_order`` picks the global shingle order — any order is
+    exact; the order decides SKEW:
+
+    - ``"df"`` (default, the canonical PPJoin choice): ascending
+      document frequency, ties by hash. Prefixes hold each doc's
+      RAREST shingles, so a stop-phrase shingle shared by m docs sits
+      in suffixes and never generates its m(m−1)/2 candidate pairs —
+      the named 100 TB skew fix. Costs one extra pass (a count per
+      shingle + a re-sort join) over the shingle table.
+    - ``"hash"``: corpus-independent xxhash64 order — one pass, no df
+      join, but hot shingles land in prefixes at the same rate as any
+      other, so candidate count degrades quadratically on corpora with
+      near-universal phrases.
+
     Output: (id_a, id_b, jaccard), id_a < id_b.
+    The sub-quadratic 100 TB path is :func:`minhash_lsh_pairs`.
     """
     # No size>0 filter here: empty shingle arrays explode to zero rows
     # anyway, and a deterministic filter would be pushed below the
@@ -161,10 +195,16 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
         .withColumn("sz", F.size("sh"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    prefix_len = (F.col("sz") - _ceil_frac(F.col("sz"), threshold) + 1).cast("int")
-    ex = sh.select(
-        "id", "sz", F.posexplode(F.slice("sh", 1, prefix_len)).alias("p", "s")
-    )
+    cands = _candidate_pairs(sh, threshold, prefix_order)
+    return _verify_pairs_jaccard(cands, sh, threshold)
+
+
+def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from the prefix-filtered
+    inverted-index self-join (exact superset of the true ≥-threshold
+    pairs). Exposed separately so skew tests can count candidates per
+    prefix order without running verification."""
+    ex = _prefix_tokens(sh, threshold, prefix_order)
     a, b = ex.alias("a"), ex.alias("b")
     num = round(threshold * 1_000_000)
     # PPJoin positional filter: J ≥ t ⟺ overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉,
@@ -176,7 +216,7 @@ def ngram_jaccard_pairs(
         ((F.col("a.sz") + F.col("b.sz")) * num + (denom - 1)) / F.lit(denom)
     )
     ubound = F.least(F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p"))
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
@@ -191,7 +231,6 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_pairs_jaccard(cands, sh, threshold)
 
 
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
