@@ -388,55 +388,101 @@ def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
     id_col: str = "doc_id",
-    max_iterations: int = 20,
+    max_iterations: int = 25,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     vertex gets the MINIMUM id reachable through pairs as its canonical
     ``component`` label — the full-cluster canonicalization that
     :func:`dedup_by_pairs` (single-hop) approximates.
 
-    Algorithm: iterative min-label propagation. Each round every vertex
-    takes min(own label, neighbors' labels); convergence when no label
-    changes (≤ graph diameter rounds — near-dup clusters are shallow).
-    Each round is one shuffle on the vertex id; ``localCheckpoint``
-    truncates the plan between rounds so lineage (and codegen) stays
-    O(1) per round instead of O(rounds). The driver-side loop reads
-    only a single convergence scalar per round — labels never leave the
-    executors. For graphs with huge diameters the classic upgrade is
-    large-star/small-star (Kiveris et al.), same building blocks.
-    """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which
+    converges in O(log² n) rounds regardless of graph DIAMETER — the
+    round-1 min-label propagation needed O(diameter) rounds, so an
+    adversarial 100-hop duplicate chain cost 100 shuffles; here it
+    costs ~5 (asserted in tests). Each round:
+
+    - large-star: every vertex u connects its strictly-LARGER
+      neighbors to m(u) = min({u} ∪ N(u)) — long chains halve.
+    - small-star: with edges oriented big→small, every vertex connects
+      its smaller neighbors (and itself) to its minimum — stars
+      flatten onto the component minimum.
+
+    Both steps are a groupBy-min plus a co-partitioned self-join on the
+    SAME key (one logical shuffle each); ``localCheckpoint`` truncates
+    lineage between rounds. Convergence is detected from a single
+    (count, hash-sum) scalar per round — edges never leave the
+    executors. At fixpoint the edge set is exactly {(v, min of v's
+    component)}, i.e. the answer."""
+    # Canonical orientation: (u, v) with u > v, deduped.
+    e = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
-    labels = labels.localCheckpoint()
+    spark = pairs.sparkSession
+    # The iterative loop runs many tiny multi-stage jobs; size its
+    # shuffles to the session's core count for the duration (a
+    # production CC job sizes shuffle partitions to its edge volume),
+    # then restore. AQE coalesces data-wise either way — this cuts the
+    # per-round task-scheduling floor.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(2, spark.sparkContext.defaultParallelism))
+    )
+    try:
+        e = _ls_ss_fixpoint(e, max_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    labels = vertices.select(F.col(id_col).alias("id")).join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("component")), "id", "left"
+    )
+    return labels.select(
+        F.col("id").alias(id_col), F.coalesce("component", "id").alias("component")
+    )
+
+
+def _ls_ss_fixpoint(e: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternate large-star/small-star on canonically-oriented edges
+    until the edge set stabilizes; returns the star set (child → component
+    min)."""
+    prev_sig = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
+        # --- large-star: symmetric view; attach bigger neighbors to m(u)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # v > u ≥ m → canonical
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()
+        # --- small-star: all neighbors here are < u; attach them + u to the min
+        smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # v > m → canonical
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            # lazy checkpoint: the signature action below materializes
+            # it, so each round costs ONE job instead of two.
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # bit_xor is order-independent and cannot overflow (sum would
+        # under ANSI mode); (count, xor-of-hashes) collides only if two
+        # distinct edge sets of equal size xor-cancel (~2⁻⁶⁴).
+        sig = ss.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        e = ss
+        if prev_sig == (sig.n, sig.h):
             break
-    return labels.select(F.col("id").alias(id_col), "component")
+        prev_sig = (sig.n, sig.h)
+    return e
