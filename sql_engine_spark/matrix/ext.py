@@ -844,6 +844,35 @@ def x30_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x32_multimodal_decode",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents)
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           GREATEST(1, (n + 47) // 48) AS height,
+           GREATEST(1, (n + 47) // 48) * 48 AS n_pixel_bytes,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(ascii(text[i]) AS BIGINT) for i in range(1, len(text)+1)]),
+             (a, b) -> a + b
+           ) AS pixel_sum
+    FROM t
+    """,
+)
+def x32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each doc's utf-8 bytes are encoded
+    as an actual RGB PNG (pure-Python encoder), then a second Arrow
+    stage header-sniffs dimensions and fully decodes the PNG (zlib
+    inflate + scanline unfiltering) back to pixels
+    (operators/multimodal.png_decode). The oracle recomputes every
+    emitted fact — dimensions from byte length, pixel sum from the
+    ascii codes (zero padding adds nothing) — so the decode round-trip
+    is hash-checked, not just smoke-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.image_stats(M.encode_text_as_png(docs))
+
+
+@query(
     "x31_embedding_centroid",
     oracle="""
     WITH x AS (

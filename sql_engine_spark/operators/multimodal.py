@@ -3,24 +3,33 @@
 Images/audio/video are opaque ``binary`` payloads plus typed metadata
 (``map<string,string>``). The Spark-side machinery — schema, Arrow
 batch shape, mapInPandas feature extraction, partition behavior — is
-real and tested; the actual media decode is STUBBED (the container has
-no image/audio libraries) behind :func:`decode_media`, which raises
-``NotImplementedError`` for real media types and provides a
-deterministic fake for ``text/plain`` payloads so the pipeline is
-end-to-end testable.
+real and tested. Decode support (no media libraries in this container,
+all pure Python):
+
+- **PNG**: REAL decode — zlib inflate + full scanline unfiltering
+  (None/Sub/Up/Average/Paeth) to raw pixel bytes, plus an encoder, so
+  image pipelines run end-to-end on actual image bytes.
+- **JPEG/GIF/BMP**: header parse (dimensions, format) via
+  :func:`media_info`; payload passes through entropy-coded.
+- **video/***: the one remaining ``NotImplementedError`` — a real
+  frame decoder needs an AV library.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -52,16 +61,149 @@ def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def decode_media(payload: bytes, mime: str) -> bytes:
-    """STUB decode step. Real image/audio/video decoding requires
-    libraries not present in this container; the Spark-side contract
-    (bytes in, bytes out, called per element inside an Arrow batch) is
-    what matters here."""
-    if mime == "text/plain":
-        return payload  # deterministic fake: identity "decode"
-    raise NotImplementedError(
-        f"decode for mime={mime!r} requires a media library; wire Pillow/librosa/av here"
+# --- pure-Python PNG codec ------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    body = tag + data
+    return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def png_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (filter 0 per scanline).
+    ``pixels`` is row-major RGB, ``len == width*height*3``."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 RGB bytes")
+    stride = width * 3
+    raw = b"".join(b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> tuple[int, int, bytes]:
+    """Real PNG decode: parse chunks, zlib-inflate IDAT, undo all five
+    scanline filters. Supports 8-bit depth, non-interlaced, color types
+    0/2/4/6 (gray/RGB/gray-alpha/RGBA). Returns (width, height, raw
+    pixel bytes)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", chunk)
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise NotImplementedError(f"PNG depth={depth} ctype={ctype} interlace={interlace}")
+    bpp = _PNG_CHANNELS[ctype]
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += line
+        prev = line
+    return w, h, bytes(out)
+
+
+def media_info(payload: bytes) -> dict:
+    """Sniff a binary payload's container format and dimensions from
+    its header bytes — pure Python, no media libraries. Supports PNG,
+    JPEG (SOF scan), GIF, BMP, WAV; anything else → format=None."""
+    if payload[:8] == _PNG_SIG and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 < len(payload):
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            pos += 2 + seglen
+        return {"format": "jpeg", "width": None, "height": None}
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return {"format": "wav", "width": None, "height": None}
+    return {"format": None, "width": None, "height": None}
+
+
+def decode_media(payload: bytes, mime: str) -> bytes:
+    """Decode a payload to its raw representation. PNG gets a REAL
+    pixel decode (inflate + unfilter); JPEG/GIF/BMP/WAV are
+    header-validated and pass through entropy-coded (dimensions via
+    :func:`media_info`); ``text/plain`` is the identity. Only video
+    still raises — a real frame decoder needs an AV library."""
+    if mime == "text/plain":
+        return payload
+    if mime == "image/png":
+        _w, _h, pixels = png_decode(payload)
+        return pixels
+    if mime in ("image/jpeg", "image/gif", "image/bmp", "audio/wav"):
+        info = media_info(payload)
+        if info["format"] is None:
+            raise ValueError(f"payload does not match {mime}")
+        return payload
+    if mime.startswith("video/"):
+        raise NotImplementedError("video frame decode requires an AV library (e.g. PyAV)")
+    return payload  # unknown mime: opaque passthrough
 
 
 FRAME_SCHEMA = StructType(
@@ -161,6 +303,81 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             )
 
     return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixel_bytes", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def encode_text_as_png(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", width: int = 16
+) -> DataFrame:
+    """Render each document's utf-8 bytes as a real RGB PNG payload
+    (fixed width, height = ceil(bytes/row), zero-padded tail) with
+    ``mime=image/png`` metadata — a deterministic image corpus for
+    exercising the non-text decode path end-to-end. Arrow-batched
+    mapInPandas; payload bytes never touch the driver."""
+    stride = width * 3
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = str(text).encode("utf-8")
+                h = max(1, (len(data) + stride - 1) // stride)
+                pixels = data.ljust(width * h * 3, b"\x00")
+                ids.append(int(doc_id))
+                payloads.append(png_encode(pixels, width, h))
+                metas.append({"mime": "image/png"})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": pd.Series(metas, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_enc, schema=PAYLOAD_SCHEMA)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL image decode stage: header-sniff dimensions
+    (:func:`media_info`), decode to raw pixels (:func:`decode_media` —
+    full inflate+unfilter for PNG), and emit numeric facts
+    (dimensions, pixel byte count, pixel sum). The numbers are
+    recomputable from the source text by the SQL oracle, which makes
+    the whole encode→decode pipeline hash-checkable."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pixel_bytes", "pixel_sum")}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                info = media_info(raw)
+                pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["n_pixel_bytes"].append(len(pixels))
+                out["pixel_sum"].append(sum(pixels))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return df.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -184,3 +184,93 @@ def test_function_registry_sql_callable(spark, sf_dir):
     txt = spark.sql("SELECT ngram_jaccard('a b c d', 'a b c e') AS j").first()
     # shingles: {abc,bcd} vs {abc,bce} → 1/3
     assert abs(txt.j - 1 / 3) < 1e-12
+
+
+# --- pure-Python media codec ----------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    """Encoder output (filter 0) must round-trip exactly, and the
+    decoder must undo Sub/Up/Average/Paeth filtered scanlines — built
+    by applying each filter forward to known pixels."""
+    import struct
+    import zlib
+
+    from sql_engine_spark.operators.multimodal import (
+        _paeth,
+        _png_chunk,
+        _PNG_SIG,
+        png_decode,
+        png_encode,
+    )
+
+    w, h = 5, 4
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    ww, hh, got = png_decode(png_encode(pixels, w, h))
+    assert (ww, hh, got) == (w, h, pixels)
+
+    # hand-filter each scanline with a different filter type
+    stride = w * 3
+    rows = [pixels[y * stride : (y + 1) * stride] for y in range(h)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, (ftype, row) in enumerate(zip([1, 2, 3, 4], rows)):
+        raw.append(ftype)
+        for i in range(stride):
+            left = row[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ftype == 1:
+                raw.append((row[i] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((row[i] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((row[i] - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((row[i] - _paeth(left, up, ul)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    ww, hh, got = png_decode(data)
+    assert (ww, hh, got) == (w, h, pixels)
+
+
+def test_media_info_header_sniffing():
+    import struct
+
+    from sql_engine_spark.operators.multimodal import media_info, png_encode
+
+    png = png_encode(bytes(6 * 2 * 3), 6, 2)
+    assert media_info(png) == {"format": "png", "width": 6, "height": 2}
+    # minimal JPEG: SOI + APP0 + SOF0 with dims 640x480
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03\x00\x00\x00"
+    )
+    assert media_info(jpeg) == {"format": "jpeg", "width": 640, "height": 480}
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert media_info(gif) == {"format": "gif", "width": 320, "height": 200}
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    assert media_info(bmp) == {"format": "bmp", "width": 100, "height": 50}
+    assert media_info(b"RIFF\x00\x00\x00\x00WAVEfmt ")["format"] == "wav"
+    assert media_info(b"garbage")["format"] is None
+
+
+def test_decode_media_scoped_to_video_only():
+    import pytest as _pytest
+
+    from sql_engine_spark.operators.multimodal import decode_media, png_encode
+
+    pixels = bytes(range(48))
+    png = png_encode(pixels, 4, 4)
+    assert decode_media(png, "image/png") == pixels
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp4", "video/mp4")
+    with _pytest.raises(ValueError):
+        decode_media(b"not a gif", "image/gif")
