@@ -168,12 +168,20 @@ def stratified_sample_exact(
     caveat is a giant stratum serializing through one reducer's sort —
     acceptable for lang/source-sized strata; for pathological strata,
     pre-aggregate counts and filter on a salted rank instead.
+
+    The cap is computed in exact INTEGER arithmetic: ``fraction`` is
+    scaled to a ratio num/10⁶ and ``ceil(n·num/10⁶)`` evaluated as
+    ``floor((n·num + 10⁶−1)/10⁶)`` — a double multiply can land an ulp
+    above the true product (0.1·45 → 4.500000000000001) and ceil one
+    row too many, diverging from a DECIMAL-exact oracle.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    num = round(fraction * 1_000_000)
     w = Window.partitionBy(*strata)
     ranked = df.withColumn("__rn", F.row_number().over(w.orderBy(order_by))).withColumn(
         "__n", F.count(F.lit(1)).over(w)
     )
-    return ranked.filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction)).drop("__rn", "__n")
+    cap = F.floor((F.col("__n") * num + (1_000_000 - 1)) / F.lit(1_000_000))
+    return ranked.filter(F.col("__rn") <= cap).drop("__rn", "__n")

@@ -11,20 +11,22 @@ operator uses the standard mergeable one-pass sketches Spark ships:
   rescan).
 - **Quantile sketch** (``percentile_approx``) with a configurable
   accuracy/memory knob.
-- **Heavy hitters** via groupBy + top-1 (exact: counts are distributive
-  so partial aggregation keeps reducer state proportional to distinct
-  keys, which is what heavy-hitter columns have few of).
+- **Heavy hitters** via a single MELTED pass: every categorical column
+  explodes to (column, value) rows in one scan, one groupBy counts
+  them all, and a per-column top-1 window picks winners (exact: counts
+  are distributive so partial aggregation keeps reducer state
+  proportional to distinct keys, which is what heavy-hitter columns
+  have few of).
 
-All sketches are one pass, map-side partial, constant driver output —
-the profile of a 100 TB table costs one scan.
+The profile of a 100 TB table costs exactly TWO scans, independent of
+column count: one for every sketch aggregate, one (melted) for every
+categorical heavy hitter — asserted in tests/test_plans.py.
 
 Accuracy bounds are asserted in tests/ against exact recomputation
 (HLL default rsd 5%; quantiles within rank tolerance 1/accuracy).
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,36 +52,54 @@ def profile_table(
         )
     one = df.agg(*aggs)
 
-    pieces = []
+    # Pivot the single aggregate row to one row per column with ONE
+    # explode — per-column union branches would re-execute the whole
+    # aggregate (and re-scan the table) once per column unless
+    # ReuseExchange happened to dedupe them.
+    entries = []
     for c in all_cols:
-        cols = [
-            F.lit(c).alias("column"),
-            F.col("__n").alias("n_rows"),
-            F.col(f"__ad_{c}").alias("approx_distinct"),
-        ]
-        if c in numeric_cols:
-            cols += [
-                F.col(f"__pq_{c}")[0].cast("double").alias("p50"),
-                F.col(f"__pq_{c}")[1].cast("double").alias("p95"),
-            ]
-        else:
-            cols += [
-                F.lit(None).cast("double").alias("p50"),
-                F.lit(None).cast("double").alias("p95"),
-            ]
-        pieces.append(one.select(*cols))
-    profile = reduce(DataFrame.unionByName, pieces)
+        p50 = F.col(f"__pq_{c}")[0].cast("double") if c in numeric_cols else F.lit(None).cast("double")
+        p95 = F.col(f"__pq_{c}")[1].cast("double") if c in numeric_cols else F.lit(None).cast("double")
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__ad_{c}").alias("approx_distinct"),
+                p50.alias("p50"),
+                p95.alias("p95"),
+            )
+        )
+    profile = one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
 
-    tops = [
-        df.groupBy(F.col(c).cast("string").alias("top_value"))
-        .agg(F.count(F.lit(1)).alias("top_count"))
-        .orderBy(F.desc("top_count"), F.asc("top_value"))
-        .limit(1)
-        .select(F.lit(c).alias("column"), "top_value", "top_count")
-        for c in categorical_cols
-    ]
-    if tops:
-        top_df = reduce(DataFrame.unionByName, tops)
+    if categorical_cols:
+        from pyspark.sql.window import Window
+
+        # One melted scan covers ALL heavy-hitter columns: explode each
+        # row to (column, value) pairs, count, take the per-column top-1
+        # (ties broken by smallest value for determinism). The counts
+        # relation is |Σ distinct values| rows — tiny.
+        melted = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("top_value"),
+                        )
+                        for c in categorical_cols
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.column", "kv.top_value")
+        counts = melted.groupBy("column", "top_value").agg(
+            F.count(F.lit(1)).alias("top_count")
+        )
+        w = Window.partitionBy("column").orderBy(F.desc("top_count"), F.asc("top_value"))
+        top_df = (
+            counts.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .drop("__r")
+        )
         profile = profile.join(top_df, on="column", how="left")
     else:
         profile = profile.withColumn("top_value", F.lit(None).cast("string")).withColumn(

@@ -182,9 +182,12 @@ def test_stratified_sample_single_shuffle(spark, sf_dir):
 def test_sketch_profile_partial_aggregation(spark, sf_dir):
     """x29: every sketch aggregates map-side first (partial_ HLL /
     percentile objects), so the profile of a 100 TB table moves only
-    constant-size state per partition."""
+    constant-size state per partition — and the whole profile reads
+    the table exactly TWICE regardless of column count (one scan for
+    all sketches, one melted scan for all heavy-hitter columns)."""
     plan = _plan(matrix.QUERIES["x29_sketch_profile"](spark, sf_dir))
     assert "partial_approx_count_distinct" in plan or "partial_" in plan
+    assert plan.count("Scan parquet") == 2
 
 
 def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
