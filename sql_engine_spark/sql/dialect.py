@@ -9,6 +9,10 @@ query text; Spark's own parser/analyzer does everything else
 - ``==`` → ``=``           (accepted by the reference, sqlengine.py:178-179)
 - trailing ``;`` stripped
 - ``X GLOB 'pat'``  → ``X RLIKE '^glob-as-regex$'``  (parser.py:80)
+- bind markers ``@name``/``$name`` → ``:name`` and ``?NNN`` →
+  ``:__pNNN`` (reference parser.py:54-57 accepts all five SQLite
+  marker forms; Spark natively takes only ``:name`` and bare ``?``) —
+  see :func:`rewrite_bind_markers`.
 
 String literals are respected: rewrites never touch quoted text.
 """
@@ -65,6 +69,36 @@ def _split_on_strings(q: str) -> list[tuple[bool, str]]:
         i += 1
     parts.append((in_str, "".join(buf)))
     return parts
+
+
+def rewrite_bind_markers(q: str) -> tuple[str, bool]:
+    """Normalize SQLite's five bind-marker forms to the two Spark
+    understands. ``@name``/``$name`` become ``:name``. If any numbered
+    ``?NNN`` marker appears, ALL question-mark markers are renamed to
+    ``:__pNNN`` using SQLite's numbering rule (a bare ``?`` takes one
+    more than the largest number assigned so far), and the second
+    return value is True — the caller then binds a positional args
+    list by those numbers. Quoted text is never touched."""
+    segs = _split_on_strings(q)
+    has_numbered = any(re.search(r"\?\d", t) for is_str, t in segs if not is_str)
+    max_idx = 0
+    out = []
+    for is_str, t in segs:
+        if is_str:
+            out.append(t)
+            continue
+        t = re.sub(r"[@$]([A-Za-z_]\w*)", r":\1", t)
+        if has_numbered:
+
+            def _num(m: re.Match) -> str:
+                nonlocal max_idx
+                idx = int(m.group(1)) if m.group(1) else max_idx + 1
+                max_idx = max(max_idx, idx)
+                return f":__p{idx}"
+
+            t = re.sub(r"\?(\d+)?", _num, t)
+        out.append(t)
+    return "".join(out), has_numbered
 
 
 def normalize_query(q: str) -> str:

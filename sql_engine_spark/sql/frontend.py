@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sql_engine_spark.sql.dialect import normalize_query
+from sql_engine_spark.sql.dialect import normalize_query, rewrite_bind_markers
 
 
 def run_sql(
@@ -18,13 +18,19 @@ def run_sql(
 ) -> DataFrame:
     """Run one (dialect-normalized) SQL query.
 
-    ``args`` are bind parameters (reference grammar accepts ``?``/
-    ``:name``/``@name``/``$name`` markers, parser.py:54-57, though the
-    reference never executes them): a dict binds ``:name`` markers, a
-    list binds positional ``?`` markers — both handled natively by
-    Spark's parameterized ``spark.sql`` (literals injected post-parse,
-    so no quoting/injection concerns)."""
+    ``args`` are bind parameters covering ALL the reference grammar's
+    marker forms (parser.py:54-57, though the reference never executes
+    them): a dict binds ``:name``/``@name``/``$name`` markers, a list
+    binds positional ``?`` and numbered ``?NNN`` markers (SQLite
+    numbering: ``?3`` takes the third list element; a bare ``?`` takes
+    the next index). The shim rewrites the marker spellings Spark lacks
+    to named markers; binding itself is Spark's parameterized
+    ``spark.sql`` (literals injected post-parse, so no
+    quoting/injection concerns)."""
     q = normalize_query(query)
+    q, numbered = rewrite_bind_markers(q)
     if args is None:
         return spark.sql(q)
+    if numbered and isinstance(args, (list, tuple)):
+        args = {f"__p{i + 1}": v for i, v in enumerate(args)}
     return spark.sql(q, args=args)

@@ -133,3 +133,32 @@ def test_missing_table_file_raises(spark, tmp_path):
     (tmp_path / "metadata.txt").write_text("<begin_table>\nghost\nX\n<end_table>\n")
     with pytest.raises(FileNotFoundError):
         load_reference_catalog(spark, str(tmp_path))
+
+
+def test_bind_parameter_marker_forms(spark, ref_tables):
+    """All five reference marker forms (parser.py:54-57): :name, @name,
+    $name bind from a dict; ?, ?N bind from a list with SQLite
+    numbering (?N → N-th element, bare ? → next index)."""
+    [r] = run_sql(
+        spark,
+        "select count(*) as n from table1 where A > :lo and A < @hi and B > $b",
+        {"lo": 0, "hi": 10_000, "b": -10_000},
+    ).collect()
+    assert r.n > 0
+    base = run_sql(spark, "select A from table1 where A > 5 order by A").collect()
+    got_pos = run_sql(spark, "select A from table1 where A > ? order by A", [5]).collect()
+    assert got_pos == base
+    # numbered: ?2 takes the SECOND element, ?1 the first
+    got_num = run_sql(
+        spark,
+        "select A from table1 where A > ?2 and B != ?1 order by A",
+        [-999_999, 5],
+    ).collect()
+    assert got_num == base
+    # bare ? after ?2 takes index 3 (SQLite rule)
+    got_mix = run_sql(
+        spark,
+        "select A from table1 where A > ?2 and B != ?1 and C != ? order by A",
+        [-999_999, 5, -999_999],
+    ).collect()
+    assert got_mix == base
