@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions) sort first of all.
 _DRIVER_ORDER = [
     # -- no CORRECTNESS row yet (round 1 stopped at 50) --------------
-    "x32_multimodal_decode",
+    "x32_multimodal_decode", "q8_market_share", "q15_top_supplier",
     "x22_text_sentiment", "x28_stratified_sample", "x30_mergeable_distinct",
     "x09_text_token_stats", "x17_text_bpe_tokens", "x19_multimodal_frames",
     "x21_salted_agg", "x01_dedup_exact", "x25_range_join", "x26_multimodal_resize",

@@ -1484,3 +1484,115 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             {sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}) AS vol_c,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN vol_c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(vol_c) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the widest flagship
+    (8-way join over 7 tables, nation joined twice under different
+    roles). All five dimensions (part filter, supplier, both nations,
+    region) broadcast; only the lineitem⇄orders⇄customer fact chain
+    shuffles. The share is a ratio of two exact integer-cent sums, one
+    double division at the end — bit-stable under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    j = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("c_rkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nkey") == F.col("s_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    vol_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    flat = j.select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        vol_c.alias("vol_c"),
+        F.col("supp_nation"),
+    )
+    share = (
+        F.sum(F.when(F.col("supp_nation") == "BRAZIL", F.col("vol_c")).otherwise(F.lit(0)))
+        .cast("double")
+        / F.sum("vol_c").cast("double")
+    )
+    return flat.groupBy("o_year").agg(share.alias("mkt_share"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS DOUBLE)/10000.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue (the
+    reference view + scalar-subquery MAX). The revenue aggregate is
+    computed ONCE and reused for both the scalar max (a 1-row broadcast
+    cross join) and the probe side; supplier broadcasts. Revenue is an
+    exact integer-cent sum divided once, so max-equality is bit-safe —
+    comparing floats for equality is exactly why the cents discipline
+    exists."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        (
+            F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).cast("double")
+            / 10000.0
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
