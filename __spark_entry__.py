@@ -39,6 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-1 entries follow. Names missing from the list (future
 # additions) sort first of all.
 _DRIVER_ORDER = [
+    # -- new in round 2 ----------------------------------------------
+    "x33_contamination", "x34_tfidf_topterms", "x35_sequence_packing",
+    "x36_regex_scrub", "x37_repetition", "x38_containment",
+    "g38_cte_reuse", "g39_lateral_explode", "g40_qualify_topn",
+    "g41_string_agg", "g42_values_inline", "g43_percentiles",
     # -- no CORRECTNESS row yet (round 1 stopped at 50) --------------
     "x32_multimodal_decode", "q8_market_share", "q15_top_supplier",
     "x22_text_sentiment", "x28_stratified_sample", "x30_mergeable_distinct",

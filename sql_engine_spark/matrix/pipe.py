@@ -1,0 +1,360 @@
+"""Round-2 matrix entries: training-data curation wave 2 (x33–x38)
+plus grammar wave 2 (g38–g43). Same registration/exactness rules as
+``core``/``ext`` (see matrix/__init__): integer-exact arithmetic with
+one final double division; counts BIGINT on both engines; identical
+aliases.
+
+The grammar entries g38/g39/g42 run through ``spark.sql`` with
+DataFrame template args — genuine Spark SQL text (WITH, LATERAL VIEW,
+VALUES) handled by Catalyst, no temp-view session pollution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.matrix import query
+from sql_engine_spark.operators import pipeline as P
+
+# --- shared oracle fragments ----------------------------------------
+
+# Shingle CTE that KEEPS shingle-less docs (empty list) — unlike ext's
+# _SHINGLES_CTE, which drops len(w)<3 docs because its consumers only
+# ever look at pairs.
+_SHINGLES_ALL_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM tok
+)
+"""
+
+
+# ---------------------------------------------------------------------
+# Tier X wave 2: training-data curation
+# ---------------------------------------------------------------------
+
+
+@query(
+    "x33_contamination",
+    oracle=f"""
+    WITH {_SHINGLES_ALL_CTE},
+    bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+    body AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT b.doc_id, COUNT(*) AS n_overlap
+      FROM (SELECT doc_id, unnest(s) AS g FROM body) b JOIN bench USING (g)
+      GROUP BY b.doc_id
+    )
+    SELECT body.doc_id, CAST(len(body.s) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CASE WHEN len(body.s) > 0
+                THEN CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / CAST(len(body.s) AS DOUBLE)
+                ELSE 0.0 END AS contamination
+    FROM body LEFT JOIN hits USING (doc_id)
+    """,
+)
+def x33_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (operators/pipeline
+    .benchmark_contamination): every 20th doc plays the benchmark; the
+    benchmark's distinct-shingle set broadcasts against the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.benchmark_contamination(docs, F.col("doc_id") % 20 == 0)
+
+
+@query(
+    "x34_tfidf_topterms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * (2*n.n_docs - 2*dfreq.df + 1) AS DOUBLE)
+               / CAST(2*dfreq.df + 1 AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def x34_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per doc with the exact-rational RSJ idf
+    (operators/pipeline.tfidf_top_terms) — no libm in the score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.tfidf_top_terms(docs, k=3).withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "x35_sequence_packing",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq_id, n_tokens AS seq_fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.seq_fill + t.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.seq_fill + t.n_tokens > 256 THEN t.n_tokens ELSE p.seq_fill + t.n_tokens END
+      FROM packed p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, seq_id, seq_fill FROM packed
+    """,
+)
+def x35_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token training sequences over 8
+    shards (operators/pipeline.pack_sequences). The oracle replays the
+    same greedy recurrence as a recursive CTE — sequential semantics,
+    independently expressed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.pack_sequences(docs, budget=256, n_shards=8)
+
+
+_SCRUB_PAT = r"\b(customer|supplier|part)\b"
+
+
+@query(
+    "x36_regex_scrub",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, text, regexp_replace(text, '{_SCRUB_PAT}', '<ENT>', 'g') AS clean
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_PAT}')) AS BIGINT) AS n_hits,
+           md5(clean) AS clean_md5,
+           CAST(length(clean) AS BIGINT) AS clean_len
+    FROM c
+    """,
+)
+def x36_regex_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing (operators/pipeline.regex_scrub) — the PII-
+    redaction shape, exercised with a corpus-hitting entity pattern
+    (the synthetic corpus contains no digits/emails). The pattern
+    stays in the RE2∩Java-regex common dialect."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.regex_scrub(docs, pattern=_SCRUB_PAT, replacement="<ENT>")
+
+
+@query(
+    "x37_repetition",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    scan AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                  ELSE CAST([] AS VARCHAR[]) END AS bi
+      FROM tok
+    ),
+    s2 AS (SELECT doc_id, CAST(len(bi) AS BIGINT) AS n_bigrams,
+                  CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct_bigrams
+           FROM scan),
+    tcnt AS (SELECT doc_id, term, COUNT(*) AS cnt
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             GROUP BY doc_id, term),
+    agg AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_token_cnt,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens
+            FROM tcnt GROUP BY doc_id)
+    SELECT s2.doc_id, n_bigrams, n_distinct_bigrams,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_frac,
+           n_tokens, top_token_cnt,
+           CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_share
+    FROM s2 JOIN agg USING (doc_id)
+    """,
+)
+def x37_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats (operators/pipeline
+    .repetition_stats): duplicate-bigram fraction + top-token share."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.repetition_stats(docs)
+
+
+@query(
+    "x38_containment",
+    oracle=f"""
+    WITH {_SHINGLES_ALL_CTE},
+    nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM nz),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+             CAST(len(x.s) AS BIGINT) AS sz_a
+      FROM cand c JOIN nz x ON x.doc_id = c.id_a JOIN nz y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment
+    FROM pairs WHERE inter * 1000000 >= 600000 * sz_a
+    """,
+)
+def x38_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment ≥ 0.6 (operators/pipeline
+    .containment_pairs) — subset/quote duplicates that symmetric
+    Jaccard misses. Prefix-filtered on the probe side; the oracle is
+    the plain inverted-index + list_intersect formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.containment_pairs(docs, threshold=0.6)
+
+
+# ---------------------------------------------------------------------
+# Grammar wave 2
+# ---------------------------------------------------------------------
+
+
+_G38_SQL = """
+WITH nb AS (
+  SELECT c_nationkey, COUNT(*) AS n_cust,
+         SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS bal_c
+  FROM {customer} GROUP BY c_nationkey
+)
+SELECT n_name, n_cust, CAST(bal_c AS DOUBLE)/100.0 AS total_bal
+FROM nb JOIN {nation} ON n_nationkey = c_nationkey
+WHERE bal_c * (SELECT COUNT(*) FROM nb) > (SELECT SUM(bal_c) FROM nb)
+"""
+
+
+@query(
+    "g38_cte_reuse",
+    oracle=_G38_SQL.replace("{customer}", "customer").replace("{nation}", "nation"),
+)
+def g38_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH/CTE referenced three times (body + two scalar subqueries):
+    nations whose total account balance beats the all-nation average,
+    compared in exact integer cents via cross-multiplication. Runs as
+    genuine Spark SQL text with DataFrame template args."""
+    return spark.sql(
+        _G38_SQL,
+        customer=load_table(spark, sf_dir, "customer"),
+        nation=load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "g39_lateral_explode",
+    oracle="""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def g39_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode in Spark SQL text (the SQL spelling of the
+    flatten; DuckDB spells it unnest): global top-20 term counts."""
+    return spark.sql(
+        """
+        SELECT term, COUNT(*) AS n
+        FROM {documents} LATERAL VIEW explode(split(text, ' ')) t AS term
+        GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        documents=load_table(spark, sf_dir, "documents"),
+    )
+
+
+@query(
+    "g40_qualify_topn",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+    FROM customer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) <= 2
+    """,
+)
+def g40_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY semantics (filter on a window result without a derived
+    table). Spark has no QUALIFY keyword; the DataFrame window-filter
+    is its exact equivalent — the oracle uses DuckDB's native QUALIFY
+    so the semantic pairing is cross-checked."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+    )
+
+
+@query(
+    "g41_string_agg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def g41_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/GROUP_CONCAT family):
+    deterministic via an explicit sort before the join — collect_list
+    order is partition-dependent, array_sort pins it."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+_G42_SQL = """
+SELECT r.r_regionkey, v.r_name, v.priority
+FROM (VALUES ('AMERICA', CAST(1 AS BIGINT)), ('ASIA', CAST(2 AS BIGINT)),
+             ('EUROPE', CAST(3 AS BIGINT))) AS v(r_name, priority)
+JOIN {region} r ON r.r_name = v.r_name
+ORDER BY v.priority
+"""
+
+
+@query(
+    "g42_values_inline",
+    oracle=_G42_SQL.replace("{region}", "region"),
+)
+def g42_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table constructor joined against a real table —
+    the literal-driven lookup/config-join pattern."""
+    return spark.sql(_G42_SQL, region=load_table(spark, sf_dir, "region"))
+
+
+@query(
+    "g43_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5) AS p50_c,
+           quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.25) AS p25_c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def g43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (percentile_cont semantics) over integer
+    cents, grouped. Linear interpolation at q∈{0.5, 0.25} on int64
+    inputs is exact in binary floating point, so both engines produce
+    identical bits — the libm-free way to cross-check quantiles."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderpriority", cents.alias("__c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(__c, 0.5)").alias("p50_c"),
+            F.expr("percentile(__c, 0.25)").alias("p25_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

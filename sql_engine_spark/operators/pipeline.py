@@ -1,0 +1,319 @@
+"""Training-data curation operators over the ``documents`` table —
+the second wave of LLM-pipeline components (SURVEY.md §2.3; no
+reference counterpart — the reference is a SQL-only engine).
+
+Everything stays JVM-expression-side except greedy sequence packing,
+which is inherently sequential per shard and runs as a *streaming*
+``mapInPandas`` generator (state carried across Arrow batches, O(batch)
+memory — never a whole-partition pandas materialization).
+
+Exactness discipline (matches matrix/__init__ conventions): counts are
+int64 end-to-end; every ratio is integer-exact until ONE final double
+division, so Spark and the DuckDB oracle produce identical bits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_engine_spark.operators import dedup as D
+from sql_engine_spark.operators import text as T
+
+# Documented default scrub target: PII-shaped spans (emails, US-SSN).
+# The corpus fixture has none, so matrix/test entries pass an explicit
+# corpus-hitting pattern; the pattern is RE2-and-Java-compatible (no
+# backrefs, no lookaround) so Spark and DuckDB agree.
+PII_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{3}-\d{2}-\d{4}"
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    is_benchmark: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every non-benchmark document,
+    the fraction of its distinct word-``n``-gram shingles that appear
+    anywhere in the benchmark slice (``is_benchmark`` rows).
+
+    Plan shape (the 100 TB argument): the benchmark side collapses to a
+    DISTINCT shingle set — benchmarks are fixed-size (MB-scale) no
+    matter how big the corpus is — and joins **broadcast**, so the
+    corpus side is one explode + one map-side-combinable groupBy on
+    ``id``: a single shuffle of per-doc counters, never of text.
+
+    Output: (doc_id, n_shingles, n_overlap, contamination) with
+    contamination = n_overlap / n_shingles as the single final double
+    division (0.0 for shingle-less docs on both engines).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        is_benchmark.alias("is_b"),
+        D.shingle_hashes(text_col, n).alias("sh"),
+    )
+    bench = sh.filter(F.col("is_b")).select(F.explode("sh").alias("g")).distinct()
+    body = sh.filter(~F.col("is_b"))
+    base = body.select("id", F.size("sh").cast("long").alias("n_shingles"))
+    hits = (
+        body.select("id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    contamination = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(hits, "id", "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_overlap",
+            contamination.alias("contamination"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf, with the idf expressed as
+    the EXACT rational Robertson–Spärck-Jones shape
+    ``(N − df + ½)/(df + ½)`` — cross-multiplied to integers,
+    ``score = (tf·(2N − 2df + 1)) / (2df + 1)``, numerator and
+    denominator exact int64 and ONE double division, so ordering and
+    bits match any other engine. (A log-idf would hit libm differences
+    between the JVM and C — the classic cross-engine float trap.)
+
+    Plan: explode → (doc,term) count [1 shuffle, map-side combined] →
+    term df [1 shuffle of (term, n) pairs] → df joined back on term →
+    N folded in as a broadcast 1-row cross join (never a driver
+    ``collect``) → per-doc row_number window [1 shuffle on doc].
+    Deterministic tiebreak: (score DESC, term ASC).
+    """
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(T.tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * (2 * F.col("n_docs") - 2 * F.col("df") + 1)).cast("double")
+            / (2 * F.col("df") + 1).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents (in doc-id order) to
+    training sequences of at most ``budget`` whitespace tokens,
+    opening a new sequence when the current one would overflow. An
+    oversized document gets a sequence of its own — never split.
+
+    Greedy packing is inherently sequential, so the scale unit is the
+    SHARD (``doc_id mod n_shards``): shards pack independently and in
+    parallel, and ``n_shards`` is the parallelism knob (≈ cluster
+    cores at 100 TB). Within a shard the implementation is a
+    ``mapInPandas`` *generator* that carries (shard, fill, seq) state
+    across Arrow batches — O(batch) memory, no whole-partition pandas
+    materialization — over a ``repartition(shard).sortWithinPartitions``
+    stream, i.e. exactly one shuffle. Several shards may hash into one
+    partition; the generator resets state on every shard change, which
+    the (shard, doc_id) sort order makes safe.
+
+    Output: (doc_id, shard, n_tokens, seq_id, seq_fill) where seq_id
+    numbers sequences within the shard from 0 and seq_fill is the
+    sequence's token count after this document was added.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        F.size(T.tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    parts = base.repartition(n_shards, "shard").sortWithinPartitions("shard", "doc_id")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_shard = None
+        fill = 0
+        seq = 0
+        for pdf in batches:
+            seq_ids = []
+            fills = []
+            for shard, toks in zip(pdf["shard"].to_numpy(), pdf["n_tokens"].to_numpy()):
+                if shard != cur_shard:
+                    cur_shard, fill, seq = shard, 0, 0
+                if fill > 0 and fill + toks > budget:
+                    seq += 1
+                    fill = 0
+                fill += int(toks)
+                seq_ids.append(seq)
+                fills.append(fill)
+            out = pdf.copy()
+            out["seq_id"] = pd.Series(seq_ids, dtype="int64").values
+            out["seq_fill"] = pd.Series(fills, dtype="int64").values
+            yield out
+
+    return parts.mapInPandas(
+        pack, "doc_id long, shard long, n_tokens long, seq_id long, seq_fill long"
+    )
+
+
+def regex_scrub(
+    df: DataFrame,
+    pattern: str = PII_PATTERN,
+    replacement: str = "<X>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regex scrubbing (PII-redaction shape): count matches of
+    ``pattern`` per document and emit the scrubbed text's md5 + length
+    (the digest keeps result rows O(1) regardless of document size).
+    Pure scan-stage expressions — zero shuffles, codegen'd end to end.
+    """
+    hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+    clean = F.regexp_replace(F.col(text_col), pattern, replacement)
+    return df.select(
+        F.col(id_col),
+        hits.cast("long").alias("n_hits"),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the filter that catches
+    boilerplate/spam before training):
+
+    - duplicate-bigram fraction — computed scan-side from array
+      expressions (no shuffle at all);
+    - top-token share — the modal token's frequency over the token
+      count, via explode → (doc,term) count → per-doc max [two
+      map-side-combinable shuffles of counters].
+
+    Both ratios are integer-exact with one final double division.
+    """
+    w = T.tokens(text_col)
+    sz = F.size(w)
+    bi = F.when(
+        sz >= 2,
+        F.transform(F.sequence(F.lit(0), sz - 2), lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    scan = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(bi).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bi)).cast("long").alias("n_distinct_bigrams"),
+    ).withColumn(
+        "dup_bigram_frac",
+        F.when(
+            F.col("n_bigrams") > 0,
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.col("n_bigrams").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(T.tokens(text_col)).alias("term"))
+    per_term = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_term.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_token_cnt"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    return (
+        scan.join(per_doc, "doc_id")
+        .withColumn(
+            "top_token_share",
+            F.col("top_token_cnt").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            "dup_bigram_frac",
+            "n_tokens",
+            "top_token_cnt",
+            "top_token_share",
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection: ordered pairs (a, b) with
+    shingle containment C(a→b) = |Sa ∩ Sb| / |Sa| ≥ ``threshold`` —
+    the quote/subset-duplicate case symmetric Jaccard misses (a short
+    doc fully quoted inside a long one has high containment but low
+    Jaccard).
+
+    Exact, prefix-filtered (the containment variant of PPJoin):
+    C ≥ t ⟹ overlap ≥ ⌈t·|Sa|⌉, so a's |Sa| − ⌈t·|Sa|⌉ + 1
+    *rarest-first* prefix shingles (document-frequency order — the
+    same hot-shingle skew defence as :func:`dedup.ngram_jaccard_pairs`)
+    must hit b's FULL set; candidate generation probes a-prefixes into
+    the full inverted index, plus the length filter |Sb| ≥ t·|Sa|
+    (since |Sa∩Sb| ≤ |Sb|) in exact integer arithmetic. Survivors are
+    verified with an integer cross-multiplied array_intersect —
+    ``inter · 10⁶ ≥ num · |Sa|`` — and the reported containment is the
+    single final double division.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = (
+        D.ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), D.shingle_hashes(text_col, n).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    num = round(threshold * 1_000_000)
+
+    pref = D._prefix_tokens(sh, threshold, "df").select(
+        F.col("id").alias("id_a"), F.col("sz").alias("psz_a"), "s"
+    )
+    inv = sh.select(F.col("id").alias("id_b"), F.col("sz").alias("isz_b"), F.explode("sh").alias("s"))
+    cands = (
+        pref.join(
+            inv,
+            (pref["s"] == inv["s"])
+            & (F.col("id_a") != F.col("id_b"))
+            & (F.col("isz_b") * 1_000_000 >= F.col("psz_a") * num),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__inter", inter.cast("long"))
+        .filter((F.col("__inter") * 1_000_000 >= F.col("sz_a") * num) & (F.col("sz_a") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__inter").cast("double") / F.col("sz_a").cast("double")).alias("containment"),
+        )
+    )

@@ -205,3 +205,54 @@ def test_q7_broadcasts_both_nation_aliases(spark, sf_dir):
     plan = _plan(matrix.QUERIES["q7_nation_volume"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """x33: the benchmark shingle set is fixed-size regardless of corpus
+    size, so it must join broadcast — the corpus side never shuffles
+    text, only per-doc counters through the one groupBy exchange."""
+    plan = _plan(matrix.QUERIES["x33_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_no_cartesian_but_one_row_n(spark, sf_dir):
+    """x34: the only nested-loop join allowed is the 1-row N fold-in;
+    tf→df joins must be hash equi-joins."""
+    plan = _plan(matrix.QUERIES["x34_tfidf_topterms"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row n_docs
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_sequence_packing_one_shuffle_streaming_python(spark, sf_dir):
+    """x35: greedy packing = exactly one Exchange (the shard
+    repartition) feeding a streaming mapInPandas — state crosses Arrow
+    batches, so no whole-partition pandas materialization exists to
+    assert, but the plan must show the single shuffle + in-partition
+    sort + one Python stage."""
+    plan = _plan(matrix.QUERIES["x35_sequence_packing"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "Sort [shard" in plan
+
+
+def test_regex_scrub_is_scan_only(spark, sf_dir):
+    """x36: scrubbing is a pure scan-stage map — zero exchanges."""
+    plan = _plan(matrix.QUERIES["x36_regex_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_containment_is_equi_join(spark, sf_dir):
+    """x38: candidate generation must probe the inverted index with a
+    hash equi-join on the shingle — never an all-pairs product."""
+    plan = _plan(matrix.QUERIES["x38_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percentiles_partial_aggregation(spark, sf_dir):
+    """g43: exact percentiles still aggregate map-side (partial
+    percentile state per partition), one scan."""
+    plan = _plan(matrix.QUERIES["g43_percentiles"](spark, sf_dir))
+    assert "partial_percentile" in plan
+    assert plan.count("Scan parquet") == 1
