@@ -60,7 +60,7 @@ _DRIVER_ORDER = [
     "x07_sim_ann_lsh", "x18_sim_ivf", "x05_dedup_simhash", "x08_sim_dup_pairs",
     "x02_dedup_ngram_jaccard", "x20_dedup_components",
     "s03_stream_sliding", "s05_stream_session_window", "s01_stream_tumbling",
-    "s04_stream_dedup", "s02_stream_sessionize",
+    "s04_stream_dedup", "s02_stream_sessionize", "s06_stream_interval_join",
     # -- green in CORRECTNESS_r01 ------------------------------------
     "e01_scan_project", "e02_star", "e03_filter_comparisons",
     "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",

@@ -358,3 +358,37 @@ def g43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming wave 2
+# ---------------------------------------------------------------------
+
+
+@query(
+    "s06_stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+           STRFTIME(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           STRFTIME(b.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 30 MINUTE
+    """,
+)
+def s06_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (click←view attribution within
+    30 minutes, watermarked state eviction on both sides;
+    streaming/windows.interval_join). Bounded append-mode output
+    equals the batch inequality join the oracle runs."""
+    from sql_engine_spark.streaming import windows as SW
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    out = SW.run_to_batch(SW.interval_join(stream), output_mode="append")
+    return out.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )

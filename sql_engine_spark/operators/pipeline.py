@@ -51,34 +51,44 @@ def benchmark_contamination(
     Output: (doc_id, n_shingles, n_overlap, contamination) with
     contamination = n_overlap / n_shingles as the single final double
     division (0.0 for shingle-less docs on both engines).
+
+    Single-pass corpus side: ``explode_outer`` keeps shingle-less docs
+    alive through the flatten, the broadcast probe marks hits inline,
+    and one groupBy rebuilds the per-doc row — so the expensive
+    shingle expression runs exactly once per document (no join-back,
+    no second scan, no persist).
     """
-    sh = df.select(
+    sh = D.ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         is_benchmark.alias("is_b"),
         D.shingle_hashes(text_col, n).alias("sh"),
     )
-    bench = sh.filter(F.col("is_b")).select(F.explode("sh").alias("g")).distinct()
-    body = sh.filter(~F.col("is_b"))
-    base = body.select("id", F.size("sh").cast("long").alias("n_shingles"))
-    hits = (
-        body.select("id", F.explode("sh").alias("g"))
-        .join(F.broadcast(bench), "g")
+    bench = (
+        sh.filter(F.col("is_b"))
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    flat = sh.filter(~F.col("is_b")).select(
+        "id", F.size("sh").cast("long").alias("n_shingles"), F.explode_outer("sh").alias("g")
+    )
+    agg = (
+        flat.join(F.broadcast(bench), "g", "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
     )
     contamination = F.when(
         F.col("n_shingles") > 0,
         F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"),
     ).otherwise(F.lit(0.0))
-    return (
-        base.join(hits, "id", "left")
-        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long"))
-        .select(
-            F.col("id").alias(id_col),
-            "n_shingles",
-            "n_overlap",
-            contamination.alias("contamination"),
-        )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        contamination.alias("contamination"),
     )
 
 

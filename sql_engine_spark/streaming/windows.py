@@ -141,3 +141,48 @@ def run_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFra
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: every ``left_type`` event matched to
+    the ``right_type`` events of the same user in the trailing
+    ``max_lag`` (attribution shape: click ← preceding views).
+
+    Both sides carry a watermark AND the join condition carries the
+    two-sided time bound — together they let the state store evict a
+    buffered right-side row once the watermark passes ts + max_lag,
+    which is what makes the join runnable forever at 100 TB/day: state
+    is O(events in the lag horizon), not O(stream). Bounded
+    append-mode output equals the batch inequality join, so a plain
+    DuckDB interval join is the oracle."""
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("__ruser"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("__ruser"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
