@@ -5,9 +5,12 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Methodology (round-2 upgrades per VERDICT.md):
-- Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); ``queries``
-  reports the MEDIAN and ``spread`` the [min, max], so one-off JIT /
-  cache effects are visible instead of silently recorded.
+- Each query runs ONE discarded warmup (codegen compile, file-cache
+  fill — first-run cost that says nothing about the plan) and then
+  $SPARK_GRAFT_BENCH_RUNS measured times (default 3); ``queries``
+  reports the MEDIAN and ``spread`` the [min, max] of the measured
+  runs, so one-off JIT / cache effects are visible instead of
+  silently recorded. ``warmup`` records the discarded first run.
 - The measured action is a ``noop``-format write (all columns
   materialized and shipped) instead of ``count()``, which lets Spark
   prune every projection and under-measures wide outputs.
@@ -53,6 +56,10 @@ BENCH_QUERIES = [
     "x14_sessionize_batch",
     "x27_skyline",
     "x29_sketch_profile",
+    "x33_contamination",
+    "x34_tfidf_topterms",
+    "x35_sequence_packing",
+    "x38_containment",
     "s01_stream_tumbling",
 ]
 
@@ -127,12 +134,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    warmup: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = matrix.QUERIES[name]
+        warmup[name] = round(_run_once(fn, spark, sf_dir), 3)
         runs = [_run_once(fn, spark, sf_dir) for _ in range(n_runs)]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
-        print(f"# {name}: median {timings[name]:.3f}s over {n_runs} runs {spread[name]}", file=sys.stderr)
+        print(
+            f"# {name}: median {timings[name]:.3f}s over {n_runs} runs "
+            f"{spread[name]} (warmup {warmup[name]:.3f}s)",
+            file=sys.stderr,
+        )
 
     # ANN recall@10 vs the exact brute-force searcher, same sf.
     recall = _ann_recall(spark, sf_dir)
@@ -154,6 +167,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": n_runs,
                 "spread": spread,
+                "warmup": warmup,
                 "recall": recall,
             }
         )

@@ -101,9 +101,22 @@ def rewrite_bind_markers(q: str) -> tuple[str, bool]:
     return "".join(out), has_numbered
 
 
+class UnsupportedSqlFeature(Exception):
+    """A grammar form the engine deliberately does not execute."""
+
+
 def normalize_query(q: str) -> str:
     q = q.strip().rstrip(";").strip()
     segs = _split_on_strings(q)
+    # MATCH: the reference grammar accepts it (parser.py:80) but, like
+    # SQLite without an FTS index, nothing can execute it. Fail with a
+    # clear message instead of Spark's generic parse error.
+    if any(re.search(r"(?i)\bMATCH\b", t) for is_str, t in segs if not is_str):
+        raise UnsupportedSqlFeature(
+            "MATCH requires a full-text index and is not supported "
+            "(the reference grammar parses it but cannot execute it either, "
+            "matching SQLite without FTS); use LIKE / GLOB / REGEXP instead"
+        )
     # == → =  outside strings
     segs = [(s, t) if s else (s, t.replace("==", "=")) for s, t in segs]
     # col GLOB 'pat' → col RLIKE 'regex' : GLOB keyword lives outside the

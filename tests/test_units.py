@@ -274,3 +274,42 @@ def test_decode_media_scoped_to_video_only():
         decode_media(b"\x00\x00\x00\x18ftypmp4", "video/mp4")
     with _pytest.raises(ValueError):
         decode_media(b"not a gif", "image/gif")
+
+
+def test_match_raises_clear_error():
+    """MATCH parses in the reference grammar but nothing executes it
+    (SQLite-without-FTS parity) — the shim must say so clearly."""
+    import pytest as _pytest
+
+    from sql_engine_spark.sql.dialect import UnsupportedSqlFeature
+
+    with _pytest.raises(UnsupportedSqlFeature, match="MATCH"):
+        normalize_query("SELECT * FROM t WHERE body MATCH 'spark'")
+    # ...but MATCH inside a string literal is data, not grammar.
+    assert "MATCH" in normalize_query("SELECT 'MATCH me' AS s")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet + a partition-key filter must
+    plan partition pruning (the scan lists only matching directories)
+    — the layout that turns a 100 TB scan into a 1-partition read."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.sources.sinks import write_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0], plan
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_click
