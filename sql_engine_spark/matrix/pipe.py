@@ -392,3 +392,144 @@ def s06_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )
+
+
+# ---------------------------------------------------------------------
+# Round-2 additions: q22 flagship, vocab/OOV, NTILE
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+    WITH bal AS (
+      SELECT c_custkey, c_nationkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    pos AS (SELECT COUNT(*) AS n_pos, SUM(bal_c) AS sum_c FROM bal WHERE bal_c > 0)
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_c) AS DOUBLE)/100.0 AS totacctbal
+    FROM bal, pos
+    WHERE bal_c * pos.n_pos > pos.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted to the
+    synthetic schema: customers with above-positive-average balance and
+    no RECENT orders, grouped by nation (the corpus lacks ``c_phone``,
+    so nationkey plays the country code; every customer has *some*
+    order in this corpus, so the anti join keys on orders since
+    2000-01-01 to keep the result non-degenerate — same plan:
+    scalar-average filter + anti join + grouped agg). The average
+    comparison is cross-multiplied to exact integer cents
+    (bal·n > Σbal), never a float divide; the anti join probes only
+    the date-filtered order keys (filter pushed to the scan)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    pos = c.filter(F.col("bal_c") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("bal_c").alias("sum_c")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_c"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c").cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "x39_vocab_oov",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    freq AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS r FROM freq
+      ) WHERE r <= 10
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE vocab.term IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE vocab.term IS NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM tok LEFT JOIN vocab USING (term)
+    GROUP BY doc_id
+    """,
+)
+def x39_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary build + out-of-vocabulary rate: the
+    top-10 corpus vocabulary (count desc, term asc — deterministic) is
+    derived, broadcast, and every document scored for OOV fraction.
+    The vocab is corpus-derived yet fixed-size, so the probe side
+    broadcasts no matter the corpus scale; the doc side is one explode
+    + one map-side-combinable groupBy. OOV rate is the single final
+    double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    from sql_engine_spark.operators import text as T
+
+    tok = docs.select(F.col("doc_id"), F.explode(T.tokens("text")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    vocab = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "g44_ntile",
+    oracle="""
+    SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM (
+      SELECT CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile, n_chars
+      FROM documents
+    )
+    GROUP BY tile
+    """,
+)
+def g44_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE windowing: quartile-bucket documents by length (ties
+    broken by doc_id for determinism) and summarize each bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select(F.ntile(4).over(w).cast("long").alias("tile"), "n_chars")
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
