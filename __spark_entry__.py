@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_ORDER = [
     # -- new in round 2 ----------------------------------------------
     "q22_sales_opportunity", "x39_vocab_oov", "g44_ntile",
+    "x40_curation_pipeline",
     "x33_contamination", "x34_tfidf_topterms", "x35_sequence_packing",
     "x36_regex_scrub", "x37_repetition", "x38_containment",
     "g38_cte_reuse", "g39_lateral_explode", "g40_qualify_topn",

@@ -533,3 +533,89 @@ def g44_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def _x40_oracle() -> str:
+    from sql_engine_spark.matrix.ext import _STOP_LIST
+
+    return f"""
+    WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+    q AS (
+      SELECT doc_id, source, text,
+             0.5*(CAST(len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+                    / CAST(len(w) AS DOUBLE))
+           + 0.3*least(1.0, CAST(len(w) AS DOUBLE)/50.0)
+           + 0.2*(CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS qs,
+             array_to_string(w[1:8], ' ') AS pre
+      FROM t
+    ),
+    qd AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY pre ORDER BY doc_id) AS rn
+      FROM q WHERE qs >= 0.35
+    ),
+    canon AS (SELECT * FROM qd WHERE rn = 1),
+    ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rs,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM canon
+    ),
+    samp AS (SELECT source, doc_id FROM ranked WHERE rs <= CEIL(n * 0.5)),
+    raw_c AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source),
+    q_c AS (SELECT source, COUNT(*) AS n_quality FROM qd GROUP BY source),
+    u_c AS (SELECT source, COUNT(*) AS n_unique FROM canon GROUP BY source),
+    s_c AS (SELECT source, COUNT(*) AS n_sampled FROM samp GROUP BY source)
+    SELECT raw_c.source,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique,
+           CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM raw_c
+    LEFT JOIN q_c USING (source) LEFT JOIN u_c USING (source) LEFT JOIN s_c USING (source)
+    """
+
+
+@query("x40_curation_pipeline", oracle=_x40_oracle())
+def x40_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composition flagship: quality
+    filter (x10's score ≥ 0.35) → boilerplate dedup on the 8-token
+    prefix fingerprint (keep-smallest-doc_id) → deterministic
+    exact-half per-source sample (x28's integer-exact cap) → per-source
+    funnel report (n_raw / n_quality / n_unique / n_sampled).
+
+    Composes the engine's own operators (text.quality_score,
+    window-ranked dedup, relational.stratified_sample_exact) into one
+    lazy plan — Catalyst sees the whole funnel, so column pruning cuts
+    ``text`` right after the fingerprint and the three stage counts
+    reuse the same shuffles. Per-source output keeps the driver row
+    count O(sources) regardless of corpus size."""
+    from sql_engine_spark.operators import text as T
+    from sql_engine_spark.operators.relational import stratified_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = T.quality_score(docs).select("doc_id", "quality_score")
+    qd = (
+        docs.join(q, "doc_id")
+        .filter(F.col("quality_score") >= 0.35)
+        .withColumn("pre", F.concat_ws(" ", F.slice(T.tokens("text"), 1, 8)))
+    )
+    w = Window.partitionBy("pre").orderBy("doc_id")
+    canon = qd.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    samp = stratified_sample_exact(canon.select("source", "doc_id"), ["source"], "doc_id", 0.5)
+
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(alias))
+
+    out = (
+        cnt(docs, "n_raw")
+        .join(cnt(qd, "n_quality"), "source", "left")
+        .join(cnt(canon, "n_unique"), "source", "left")
+        .join(cnt(samp, "n_sampled"), "source", "left")
+    )
+    return out.select(
+        "source",
+        "n_raw",
+        F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+    )

@@ -1,0 +1,120 @@
+"""Behavioral tests for the wave-2 curation operators — planted-case
+and invariant checks that the oracle matrix (which only compares
+engines) cannot express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_engine_spark.operators import pipeline as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_planted_subset(spark):
+    """A doc fully quoted inside a longer doc has containment 1.0 in
+    the short→long direction (the case symmetric Jaccard misses)."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " eta theta iota kappa lam mu nu xi omicron pi rho sigma tau"
+    filler = "one two three four five six seven eight nine ten eleven twelve"
+    df = _docs(spark, [(1, short), (2, long_), (3, filler)])
+    out = {(r.id_a, r.id_b): r.containment for r in P.containment_pairs(df, threshold=0.9).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # long→short containment is well under 0.9
+    assert not any(3 in k for k in out)
+
+
+def test_contamination_planted_benchmark_copy(spark):
+    """A corpus doc that IS a benchmark doc scores contamination 1.0;
+    an unrelated doc scores 0.0; benchmark rows are excluded."""
+    bench_text = "the quick brown fox jumps over the lazy dog today"
+    other = "completely different words about spark plans and shuffles here"
+    df = _docs(spark, [(0, bench_text), (1, bench_text), (2, other)])
+    out = {
+        r.doc_id: r
+        for r in P.benchmark_contamination(df, F.col("doc_id") == 0).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1].contamination == 1.0
+    assert out[2].contamination == 0.0
+    assert out[2].n_overlap == 0
+
+
+def test_pack_sequences_budget_invariant(spark, sf_dir):
+    """Every sequence's total fits the budget unless it is a single
+    oversized doc; within a shard, doc order is preserved and seq ids
+    are contiguous from 0."""
+    from sql_engine_spark.catalog import load_table
+
+    budget = 256
+    docs = load_table(spark, sf_dir, "documents")
+    rows = P.pack_sequences(docs, budget=budget, n_shards=8).collect()
+    by_seq: dict[tuple, list] = {}
+    for r in rows:
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    for (_, _), members in by_seq.items():
+        total = sum(m.n_tokens for m in members)
+        assert total <= budget or len(members) == 1
+    # per-shard: doc_id order increases with (seq_id, position), seq ids contiguous
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda m: m.doc_id)
+        seqs = [m.seq_id for m in members]
+        assert seqs == sorted(seqs), f"seq ids must be monotone in doc order (shard {shard})"
+        assert seqs[0] == 0
+        assert set(seqs) == set(range(max(seqs) + 1))
+
+
+def test_pack_sequences_oversized_doc_alone(spark):
+    """A doc bigger than the budget gets its own sequence and does not
+    poison its neighbours' packing."""
+    big = " ".join(f"w{i}" for i in range(40))
+    small = "a b c"
+    df = _docs(spark, [(0, small), (8, big), (16, small)])  # all shard 0 (mod 8)
+    out = sorted(
+        P.pack_sequences(df, budget=10, n_shards=8).collect(), key=lambda r: r.doc_id
+    )
+    assert [r.seq_id for r in out] == [0, 1, 2]
+    assert out[1].n_tokens == 40 and out[1].seq_fill == 40
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outrank a corpus-wide term with
+    equal tf — the idf direction check."""
+    df = _docs(
+        spark,
+        [
+            (1, "common common rare"),
+            (2, "common common other"),
+            (3, "common common words"),
+        ],
+    )
+    top = {
+        r.doc_id: r.term
+        for r in P.tfidf_top_terms(df, k=1).collect()
+    }
+    assert top[1] == "rare"  # tf 1 but df 1 beats 'common' (tf 2, df 3)
+
+
+def test_regex_scrub_counts_and_redacts(spark):
+    df = _docs(spark, [(1, "call me at 555-12-3456 or a@b.com ok")])
+    out = P.regex_scrub(df).collect()[0]
+    assert out.n_hits == 2
+    assert out.clean_len == len("call me at <X> or <X> ok")
+
+
+def test_repetition_detects_boilerplate(spark):
+    """A doc that repeats one phrase has high dup-bigram fraction and
+    top-token share; a all-distinct doc has zero duplicate bigrams."""
+    spam = " ".join(["buy now"] * 10)  # 20 tokens alternating
+    clean = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(spark, [(1, spam), (2, clean)])
+    out = {r.doc_id: r for r in P.repetition_stats(df).collect()}
+    assert out[1].n_distinct_bigrams == 2  # 'buy now' and 'now buy'
+    assert out[1].dup_bigram_frac > 0.8
+    assert out[1].top_token_share == 0.5
+    assert out[2].dup_bigram_frac == 0.0
