@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "x34_tfidf_topterms",
     "x35_sequence_packing",
     "x38_containment",
+    "x40_curation_pipeline",
     "s01_stream_tumbling",
 ]
 

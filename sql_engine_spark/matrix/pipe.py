@@ -583,39 +583,44 @@ def x40_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-half per-source sample (x28's integer-exact cap) → per-source
     funnel report (n_raw / n_quality / n_unique / n_sampled).
 
-    Composes the engine's own operators (text.quality_score,
-    window-ranked dedup, relational.stratified_sample_exact) into one
-    lazy plan — Catalyst sees the whole funnel, so column pruning cuts
-    ``text`` right after the fingerprint and the three stage counts
-    reuse the same shuffles. Per-source output keeps the driver row
-    count O(sources) regardless of corpus size."""
+    The stages FUSE into one lineage: stage membership is a flag, the
+    dedup "keep first qualifying row per fingerprint" is a running
+    count of quality rows inside the fingerprint window, the sample
+    cap is the same integer-exact ceil over a per-source running
+    count, and the funnel is one conditional aggregation — so the
+    whole report costs ONE scan of the corpus and TWO shuffles (the
+    fingerprint window, then the source window, whose partitioning
+    the final groupBy reuses). The naive composition (operator →
+    join → operator) scans the corpus 7×; at 100 TB the fused shape
+    is the difference between one pass and seven."""
     from sql_engine_spark.operators import text as T
-    from sql_engine_spark.operators.relational import stratified_sample_exact
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    q = T.quality_score(docs).select("doc_id", "quality_score")
-    qd = (
-        docs.join(q, "doc_id")
-        .filter(F.col("quality_score") >= 0.35)
-        .withColumn("pre", F.concat_ws(" ", F.slice(T.tokens("text"), 1, 8)))
-    )
-    w = Window.partitionBy("pre").orderBy("doc_id")
-    canon = qd.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    samp = stratified_sample_exact(canon.select("source", "doc_id"), ["source"], "doc_id", 0.5)
-
-    def cnt(df: DataFrame, alias: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count(F.lit(1)).alias(alias))
-
-    out = (
-        cnt(docs, "n_raw")
-        .join(cnt(qd, "n_quality"), "source", "left")
-        .join(cnt(canon, "n_unique"), "source", "left")
-        .join(cnt(samp, "n_sampled"), "source", "left")
-    )
-    return out.select(
+    d = docs.select(
+        "doc_id",
         "source",
-        "n_raw",
-        F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
-        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
-        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        (T.quality_expr("text") >= 0.35).cast("int").alias("q_ok"),
+        F.concat_ws(" ", F.slice(T.tokens("text"), 1, 8)).alias("pre"),
+    )
+    run = Window.partitionBy("pre").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn(
+        "is_canon", ((F.col("q_ok") == 1) & (F.sum("q_ok").over(run) == 1)).cast("int")
+    )
+    srun = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sall = Window.partitionBy("source")
+    n_canon = F.sum("is_canon").over(sall)
+    cap = F.floor((n_canon * 500_000 + (1_000_000 - 1)) / F.lit(1_000_000))
+    d = d.withColumn(
+        "sampled",
+        ((F.col("is_canon") == 1) & (F.sum("is_canon").over(srun) <= cap)).cast("int"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("q_ok").cast("long").alias("n_quality"),
+        F.sum("is_canon").cast("long").alias("n_unique"),
+        F.sum("sampled").cast("long").alias("n_sampled"),
     )

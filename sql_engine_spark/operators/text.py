@@ -57,6 +57,19 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def quality_expr(text_col: Column | str) -> Column:
+    """The quality-score COLUMN (0.5·stopword_ratio + 0.3·min(1, n/50)
+    + 0.2·distinct_ratio) — exposed as a bare expression so composed
+    pipelines (x40 funnel) can fuse it into their own scan instead of
+    paying a join against :func:`quality_score`'s output."""
+    w = tokens(text_col)
+    n = F.size(w).cast("double")
+    stop_ratio = count_in(w, STOPWORDS).cast("double") / n
+    len_score = F.least(F.lit(1.0), n / F.lit(50.0))
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    return F.lit(0.5) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.2) * distinct_ratio
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic quality heuristic in [0, 1]:
     0.5 * stopword_ratio + 0.3 * min(1, n_tokens/50) + 0.2 * distinct_ratio.
@@ -68,13 +81,12 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     w = tokens(text_col)
     n = F.size(w).cast("double")
     stop_ratio = count_in(w, STOPWORDS).cast("double") / n
-    len_score = F.least(F.lit(1.0), n / F.lit(50.0))
     distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
     return df.select(
         F.col(id_col),
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
-        (F.lit(0.5) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.2) * distinct_ratio).alias("quality_score"),
+        quality_expr(text_col).alias("quality_score"),
     )
 
 

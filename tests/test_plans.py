@@ -256,3 +256,14 @@ def test_percentiles_partial_aggregation(spark, sf_dir):
     plan = _plan(matrix.QUERIES["g43_percentiles"](spark, sf_dir))
     assert "partial_percentile" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_curation_funnel_is_single_scan(spark, sf_dir):
+    """x40: the fused funnel must read the corpus ONCE and shuffle
+    twice (fingerprint window, then source window whose partitioning
+    the final aggregation reuses) — the naive operator-join-operator
+    composition costs 7 scans."""
+    plan = _plan(matrix.QUERIES["x40_curation_pipeline"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
