@@ -186,3 +186,41 @@ def interval_join(
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_lag}")),
         "inner",
     ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+
+
+def stream_to_parquet_exactly_once(
+    stream_df: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Exactly-once parquet sink via ``foreachBatch``: each micro-batch
+    writes into its own ``__batch_id`` partition with dynamic partition
+    overwrite, so a replayed batch (failure between sink commit and
+    checkpoint commit — the at-least-once window every foreachBatch
+    sink has) OVERWRITES its own partition instead of appending
+    duplicates. Idempotence + checkpointed offsets = exactly-once
+    output, the contract a 100 TB/day ingest pipeline needs from a
+    plain-parquet lake (no Delta/transactional table required).
+
+    Runs bounded (AvailableNow) here; unbounded production use is the
+    same call without awaitTermination."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.awaitTermination()

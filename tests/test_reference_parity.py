@@ -162,3 +162,28 @@ def test_bind_parameter_marker_forms(spark, ref_tables):
         [-999_999, 5, -999_999],
     ).collect()
     assert got_mix == base
+
+
+def test_sql_front_door_runs_tpch_text(spark):
+    """A reference user's workflow — hand the engine SQL TEXT — must
+    work against the parquet corpus views end-to-end and agree with
+    the DataFrame flagship exactly (same exact-cents discipline)."""
+    from sql_engine_spark import matrix
+    from sql_engine_spark.catalog import register_views
+    from sql_engine_spark.sql import run_sql
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_views(spark, sf_dir)
+    sql_out = run_sql(
+        spark,
+        """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24;
+        """,
+    ).collect()
+    df_out = matrix.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+    assert sql_out[0]["revenue"] == df_out[0]["revenue"]
