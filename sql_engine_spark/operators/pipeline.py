@@ -298,21 +298,7 @@ def containment_pairs(
         .withColumn("sz", F.size("sh"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     num = round(threshold * 1_000_000)
-
-    pref = D._prefix_tokens(sh, threshold, "df").select(
-        F.col("id").alias("id_a"), F.col("sz").alias("psz_a"), "s"
-    )
-    inv = sh.select(F.col("id").alias("id_b"), F.col("sz").alias("isz_b"), F.explode("sh").alias("s"))
-    cands = (
-        pref.join(
-            inv,
-            (pref["s"] == inv["s"])
-            & (F.col("id_a") != F.col("id_b"))
-            & (F.col("isz_b") * 1_000_000 >= F.col("psz_a") * num),
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cands = _containment_candidates(sh, threshold)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -326,4 +312,27 @@ def containment_pairs(
             "id_b",
             (F.col("__inter").cast("double") / F.col("sz_a").cast("double")).alias("containment"),
         )
+    )
+
+
+def _containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Distinct (id_a, id_b) containment candidates: probe a's
+    rarest-first prefix (length |Sa| − ⌈t·|Sa|⌉ + 1) into the FULL
+    inverted index, with the exact-integer length filter |Sb| ≥ t·|Sa|.
+    Exposed separately so skew tests can count candidates without
+    running verification (mirrors dedup._candidate_pairs)."""
+    num = round(threshold * 1_000_000)
+    pref = D._prefix_tokens(sh, threshold, "df").select(
+        F.col("id").alias("id_a"), F.col("sz").alias("psz_a"), "s"
+    )
+    inv = sh.select(F.col("id").alias("id_b"), F.col("sz").alias("isz_b"), F.explode("sh").alias("s"))
+    return (
+        pref.join(
+            inv,
+            (pref["s"] == inv["s"])
+            & (F.col("id_a") != F.col("id_b"))
+            & (F.col("isz_b") * 1_000_000 >= F.col("psz_a") * num),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )

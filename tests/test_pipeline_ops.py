@@ -118,3 +118,38 @@ def test_repetition_detects_boilerplate(spark):
     assert out[1].dup_bigram_frac > 0.8
     assert out[1].top_token_share == 0.5
     assert out[2].dup_bigram_frac == 0.0
+
+
+def test_containment_prefix_kills_hot_shingle_skew(spark):
+    """x38's docstring claims the same df-ordered-prefix skew defence
+    as x02 — prove it: with a corpus-wide hot phrase, the naive
+    inverted index meets every ordered pair (m·(m−1) candidates),
+    while rarest-first prefixes keep hot shingles out of probes and
+    generate none."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.operators.dedup import shingle_hashes
+    from sql_engine_spark.operators.pipeline import _containment_candidates
+
+    words = ["".join(p) for p in itertools.product("abcdefghij", repeat=3)]
+    hot = " ".join(f"hot{j}" for j in range(12))
+    m = 40
+    rows = [(i, " ".join(words[i * 10 : i * 10 + 10]) + " " + hot) for i in range(m)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = (
+        df.select(F.col("doc_id").alias("id"), shingle_hashes("text", 3).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+    )
+    naive = (
+        sh.select(F.col("id").alias("id_a"), F.explode("sh").alias("s"))
+        .join(sh.select(F.col("id").alias("id_b"), F.explode("sh").alias("s")), "s")
+        .filter("id_a != id_b")
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert naive == m * (m - 1)  # every ordered pair shares the hot phrase
+    pruned = _containment_candidates(sh, 0.6).count()
+    assert pruned < m  # hot shingles never reach a prefix probe
