@@ -55,10 +55,11 @@ _DRIVER_ORDER = [
     # -- streaming ------------------------------------------------
     "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
     "s05_stream_session_window", "s06_stream_interval_join", "s02_stream_sessionize",
-    # -- curation wave 2 (new this round) -------------------------
+    # -- curation wave 2 + 3 (new this round) ---------------------
     "x33_contamination", "x34_tfidf_topterms", "x35_sequence_packing",
     "x36_regex_scrub", "x37_repetition", "x38_containment", "x39_vocab_oov",
-    "x40_curation_pipeline",
+    "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
+    "s07_stream_static_enrich",
     # -- remaining Tier X -----------------------------------------
     "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
     "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
@@ -72,7 +73,9 @@ _DRIVER_ORDER = [
     "g32_array_funcs", "g33_window_frames", "g34_grouping_sets", "g35_pivot",
     "g36_not_in_subquery", "g37_intersect_except_all", "g38_cte_reuse",
     "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
-    "g42_values_inline", "g43_percentiles", "g44_ntile",
+    "g42_values_inline", "g43_percentiles", "g44_ntile", "g45_recursive_cte",
+    "g46_full_outer", "g47_quantified_all", "g48_semi_anti_join",
+    "g49_grouping_id",
     # -- green in CORRECTNESS_r01 --------------------------------
     "e01_scan_project", "e02_star", "e03_filter_comparisons",
     "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",

@@ -336,3 +336,72 @@ def _containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --- wave 3: mixture construction + corpus shape ---------------------
+
+# Knuth's multiplicative constant ⌊2³²/φ⌋ — the per-row "coin flip" is
+# (id·K) mod 2²⁰, a deterministic hash both engines can compute with
+# plain int64 arithmetic (no engine-specific hash function, no RNG
+# state). id ≤ ~2⁵² / K keeps the product inside int64.
+MIX_HASH_K = 2654435761
+_MIX_BUCKETS = 1 << 20
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights_ppm: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic source-weighted mixture sampling — the "data
+    mixing" step of a training-data pipeline (sample each domain at a
+    target rate before interleaving).
+
+    Keeps a row iff ``(id·K mod 2²⁰) / 2²⁰ < ppm/10⁶``, compared in
+    cross-multiplied integers (``hash·10⁶ < ppm·2²⁰``) so there is no
+    floating point anywhere and the kept set is bit-identical across
+    engines, partitionings, and retries. Sources absent from
+    ``weights_ppm`` default to 0 ppm (dropped).
+
+    Scale: a pure expression filter over the scan — no shuffle, no
+    Python, no broadcast state; at 100 TB this is a map-only pass that
+    AQE can pipeline into whatever comes next.
+    """
+    m = F.create_map(*[F.lit(x) for kv in weights_ppm.items() for x in kv])
+    ppm = F.coalesce(m[F.col(source_col)], F.lit(0)).cast("long")
+    h = (F.col(id_col).cast("long") * F.lit(MIX_HASH_K)) % F.lit(_MIX_BUCKETS)
+    return df.where(h * F.lit(1_000_000) < ppm * F.lit(_MIX_BUCKETS))
+
+
+def length_histogram(
+    df: DataFrame,
+    edges: tuple[int, ...] = (16, 32, 48, 64, 96),
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-length histogram — the corpus-shape profile a
+    mixture designer reads before setting packing lengths. Bucket key
+    is the largest edge ≤ n_tokens (0 below the first edge) via a CASE
+    chain — exact integers, no log/floor floating point. ``share`` is
+    the one final double division (n_docs / source_total).
+
+    Scale: one groupBy shuffle on (source, bucket) — thousands of
+    groups at most — then a tiny window over the aggregated result.
+    """
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    bucket = F.lit(0).cast("long")
+    for e in edges:  # ascending: the last satisfied edge wins
+        bucket = F.when(n >= e, F.lit(e).cast("long")).otherwise(bucket)
+    agg = (
+        df.select(F.col(source_col).alias("source"), bucket.alias("bucket_lo"))
+        .groupBy("source", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = F.sum("n_docs").over(Window.partitionBy("source"))
+    return agg.select(
+        "source",
+        "bucket_lo",
+        "n_docs",
+        (F.col("n_docs").cast("double") / total.cast("double")).alias("share"),
+    )

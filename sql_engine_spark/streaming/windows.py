@@ -102,6 +102,40 @@ def session_window_agg(
     )
 
 
+def static_enrich_agg(
+    events: DataFrame,
+    dims: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a small
+    static dimension (event_type → integer weight) then aggregate into
+    tumbling windows. The static side of a stream-static join is
+    STATELESS — Spark broadcasts it per micro-batch, so there is no
+    join state to watermark and the only stateful operator is the
+    window aggregation. The weighted sum is exact: cents(value)·weight
+    summed as int64, one final /100 division.
+
+    Scale: the dim broadcast is bytes-sized; the windowed agg shuffles
+    on (window, event_type) with map-side partial aggregation.
+    """
+    joined = events.join(F.broadcast(dims), "event_type")
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value") * F.col("weight").cast("long")).alias("w_cents"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            from_cents(F.col("w_cents")).alias("weighted_value"),
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event stream via ``dropDuplicatesWithinWatermark``:
     duplicate event_ids arriving within the watermark horizon are

@@ -1,0 +1,106 @@
+"""Behavioral tests for wave 3: deterministic mixture sampling,
+length histogram, quantified-comparison rewrite semantics, recursive
+calendar gap fill, and stream-static enrichment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.operators.pipeline import MIX_HASH_K, length_histogram, weighted_mix
+
+
+def _docs(spark, n=200):
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + (i % 60))), f"src{i % 4}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_weighted_mix_honors_zero_and_full_weights(spark):
+    df = _docs(spark)
+    kept = weighted_mix(df, {"src0": 0, "src1": 1_000_000, "src2": 500_000}).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert "src0" not in by_src  # 0 ppm → dropped entirely
+    assert len(by_src["src1"]) == 50  # 10⁶ ppm → every src1 doc kept
+    assert "src3" not in by_src  # absent from weights → dropped
+    assert 0 < len(by_src["src2"]) < 50  # partial rate keeps a strict subset
+
+
+def test_weighted_mix_is_deterministic_and_hash_defined(spark):
+    df = _docs(spark)
+    w = {"src2": 250_000}
+    a = sorted(r.doc_id for r in weighted_mix(df, w).collect())
+    b = sorted(r.doc_id for r in weighted_mix(df.repartition(7), w).collect())
+    assert a == b  # partitioning-independent
+    expected = [
+        i for i in range(200)
+        if i % 4 == 2 and ((i * MIX_HASH_K) % (1 << 20)) * 1_000_000 < 250_000 * (1 << 20)
+    ]
+    assert a == expected  # exactly the documented arithmetic
+
+
+def test_length_histogram_buckets_and_shares(spark):
+    rows = [
+        (0, " ".join(["w"] * 5), "a"),   # 5 tokens  → bucket 0
+        (1, " ".join(["w"] * 20), "a"),  # 20        → 16
+        (2, " ".join(["w"] * 100), "a"), # 100       → 96
+        (3, " ".join(["w"] * 33), "b"),  # 33        → 32
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source, r.bucket_lo): (r.n_docs, r.share) for r in length_histogram(df).collect()}
+    assert out[("a", 0)] == (1, 1 / 3)
+    assert out[("a", 16)] == (1, 1 / 3)
+    assert out[("a", 96)] == (1, 1 / 3)
+    assert out[("b", 32)] == (1, 1.0)
+
+
+def test_quantified_all_vacuous_truth_on_empty_subquery(spark, sf_dir):
+    """`> ALL (empty)` is TRUE for every row — the rewrite's
+    `max IS NULL` arm. Replay the matrix rewrite against a brand that
+    does not exist and check nothing is filtered by the ALL arm."""
+    part = load_table(spark, sf_dir, "part")
+    mx = part.where(F.col("p_brand") == "Brand#NOPE").agg(F.max("p_retailprice").alias("__mx"))
+    out = (
+        part.crossJoin(F.broadcast(mx))
+        .where(F.col("__mx").isNull() | (F.col("p_retailprice") > F.col("__mx")))
+        .count()
+    )
+    assert out == part.count()
+
+
+def test_recursive_calendar_fills_gap_months(spark, sf_dir):
+    from sql_engine_spark.matrix.wave3 import g45_recursive_cte
+
+    rows = g45_recursive_cte(spark, sf_dir).collect()
+    assert len(rows) == 80  # 1995-01 .. 2001-08 inclusive
+    by_mo = {r.mo: r for r in rows}
+    assert by_mo["1995-01"].mo and by_mo["2001-08"].mo
+    # gap months (if any) carry explicit zeros, never NULL
+    assert all(r.n_orders >= 0 and r.total_price is not None for r in rows)
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    from sql_engine_spark.matrix.wave3 import EVENT_WEIGHTS
+    from sql_engine_spark.functions.money import cents, from_cents
+    from sql_engine_spark.streaming import windows as SW
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    dims = spark.createDataFrame(EVENT_WEIGHTS, "event_type string, weight int")
+    got = SW.run_to_batch(SW.static_enrich_agg(stream, dims), output_mode="complete")
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dims), "event_type")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            from_cents(F.sum(cents("value") * F.col("weight").cast("long"))).alias("weighted_value"),
+        )
+    )
+    g = {(r.window_start, r.event_type): (r.n_events, r.weighted_value) for r in got.collect()}
+    b = {(r.window_start, r.event_type): (r.n_events, r.weighted_value) for r in batch.collect()}
+    assert g == b
