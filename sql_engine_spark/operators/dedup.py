@@ -60,6 +60,54 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+# Persisted shingle-index memo, keyed by (session, input-plan semantic
+# hash, id_col, text_col, n). At 100 TB the shingle index is the
+# artifact you materialize ONCE and feed to every near-dup operator
+# (Jaccard join, containment, the CC pair source); in a long-lived
+# session this memo is exactly that reuse — the second operator over
+# the same corpus skips the shingle scan entirely. Bounded by distinct
+# (corpus, n) combinations per session; `clear_shingle_index()`
+# unpersists everything.
+_SHINGLE_INDEX: dict[tuple, DataFrame] = {}
+
+
+def shingle_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Persisted ``(id, sh, sz)`` shingle index over ``df`` —
+    hash-sorted int64 shingle arrays plus their sizes, the shared input
+    shape of :func:`ngram_jaccard_pairs` and
+    ``pipeline.containment_pairs``. Memoized on the input plan's
+    semantic hash so repeated calls (same session, same corpus) return
+    the SAME persisted DataFrame."""
+    try:
+        key = (id(df.sparkSession), df.semanticHash(), id_col, text_col, n)
+    except Exception:  # plans without a semantic hash: build uncached
+        key = None
+    if key is not None and key in _SHINGLE_INDEX:
+        return _SHINGLE_INDEX[key]
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if key is not None:
+        _SHINGLE_INDEX[key] = sh
+    return sh
+
+
+def clear_shingle_index() -> None:
+    """Unpersist and drop every memoized shingle index (test/session
+    hygiene; also the answer to the cache-entry-leak concern — the
+    cache is explicit and collectively releasable)."""
+    for sh in _SHINGLE_INDEX.values():
+        try:
+            sh.unpersist()
+        except Exception:
+            pass
+    _SHINGLE_INDEX.clear()
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a single-space-tokenized text.
     Pure array expression (no UDF): slice the token array at every
@@ -185,16 +233,14 @@ def ngram_jaccard_pairs(
     # repartition, re-evaluating the whole shingle expression serially
     # on the (possibly single) input partition.
     # The shingle table feeds four plan branches (both join sides of
-    # candidate generation and of verification); persist it so the
-    # expensive shingle expression is computed and codegen-compiled
-    # once. MEMORY_AND_DISK spills at scale; size is O(corpus shingles).
-    # Shingles are int64 hashes (shingle_hashes): integer join keys and
-    # integer intersections, no string shuffles.
-    sh = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
-        .withColumn("sz", F.size("sh"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # candidate generation and of verification); shingle_index persists
+    # it so the expensive shingle expression is computed and
+    # codegen-compiled once — and REUSED across operators on the same
+    # corpus (containment, CC pair source). MEMORY_AND_DISK spills at
+    # scale; size is O(corpus shingles). Shingles are int64 hashes
+    # (shingle_hashes): integer join keys and integer intersections, no
+    # string shuffles.
+    sh = shingle_index(df, id_col, text_col, n)
     cands = _candidate_pairs(sh, threshold, prefix_order)
     return _verify_pairs_jaccard(cands, sh, threshold)
 

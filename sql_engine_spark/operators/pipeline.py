@@ -290,13 +290,10 @@ def containment_pairs(
     ``inter · 10⁶ ≥ num · |Sa|`` — and the reported containment is the
     single final double division.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    sh = (
-        D.ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), D.shingle_hashes(text_col, n).alias("sh"))
-        .withColumn("sz", F.size("sh"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Shared persisted shingle index — the same (id, sh, sz) artifact
+    # ngram_jaccard_pairs builds, so on a corpus that already ran a
+    # Jaccard dedup the shingle scan is free (dedup.shingle_index memo).
+    sh = D.shingle_index(df, id_col, text_col, n)
     num = round(threshold * 1_000_000)
     cands = _containment_candidates(sh, threshold)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))

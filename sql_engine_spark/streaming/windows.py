@@ -37,6 +37,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory would be picked up incrementally in production. ``ts`` is
     stored as TIMESTAMP(NANOS) → read as long nanos (see session.py)
     and converted to a µs timestamp with exact integer division."""
+    # Same stock-conf right-sizing as catalog.load_table: a vanilla
+    # session that starts with a STREAMING query would otherwise run
+    # every stateful operator with 200 state-store partitions — pure
+    # per-micro-batch overhead on a local box, and the partition count
+    # is frozen into the query's checkpoint at start.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(2, spark.sparkContext.defaultParallelism)),
+        )
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")

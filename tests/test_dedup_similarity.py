@@ -234,3 +234,18 @@ def test_ivf_recall_vs_brute(emb):
     assert recall4 >= 0.3, f"IVF recall@10 (probe 4/16) {recall4:.2f}"
     ivf_all = [r.vec_id for r in S.ivf_topk(emb, qv, k=10, exclude_id=0, n_probe=16).collect()]
     assert ivf_all == brute
+
+
+def test_shingle_index_memoized_and_clearable(spark, sf_dir):
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = D.shingle_index(docs)
+    b = D.shingle_index(load_table(spark, sf_dir, "documents"))
+    assert a is b  # same corpus plan → same persisted index object
+    c = D.shingle_index(docs, n=4)
+    assert c is not a  # different shingle width → different index
+    D.clear_shingle_index()
+    assert D.shingle_index(docs) is not a  # cleared → rebuilt
+    D.clear_shingle_index()
