@@ -73,27 +73,20 @@ def _hyperplanes(dim: int, n_planes: int = ANN_PLANES, seed: int = ANN_SEED) -> 
     return rng.standard_normal((n_planes, dim))
 
 
-def _sig_bits(vec_col: Column, planes: np.ndarray) -> list[Column]:
-    """Per-plane sign bits of v·h_i, as 0/1 int columns. Expression-only
-    (whole-stage codegen); each dot product is a left-to-right fold."""
-    v = to_double_array(vec_col)
-    bits = []
-    for plane in planes:
-        h = _as_vec_lit(list(plane))
-        d = F.aggregate(F.zip_with(v, h, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        bits.append(F.when(d > 0, F.lit(1)).otherwise(F.lit(0)))
-    return bits
+def _fmt_double(x: float) -> str:
+    """SQL double literal with exact round-trip: repr() is the shortest
+    string that parses back to the same double; the D suffix stops
+    Spark from typing a plain decimal as DECIMAL."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "D"
 
 
-def _band_cols(bits: list[Column], n_bands: int) -> list[Column]:
-    per = len(bits) // n_bands
-    cols = []
-    for b in range(n_bands):
-        expr = F.lit(0)
-        for i in range(per):
-            expr = expr + bits[b * per + i] * F.lit(1 << i)
-        cols.append(expr.alias(f"band{b}"))
-    return cols
+def _planes_sql(planes: np.ndarray) -> str:
+    return (
+        "array("
+        + ",".join("array(" + ",".join(_fmt_double(v) for v in p) + ")" for p in planes)
+        + ")"
+    )
 
 
 def with_srp_bands(
@@ -106,10 +99,29 @@ def with_srp_bands(
 ) -> DataFrame:
     """Attach SRP band columns (small ints). At 100 TB, persist the
     corpus partitioned/bucketed by ``band0`` so each band probe prunes
-    to a handful of partitions; the other bands are cheap int filters."""
+    to a handful of partitions; the other bands are cheap int filters.
+
+    The whole signature — all plane dot products, sign bits, and band
+    packing — is built as ONE SQL string parsed JVM-side: the Column-
+    API equivalent (16 lambda folds + 1024 literal cells) costs
+    thousands of py4j round trips just to CONSTRUCT, which dominated
+    wall time on small inputs. Same fold order and literal values, so
+    the band values are bit-identical to the per-column formulation."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bits = _sig_bits(F.col(vec_col), planes)
-    return df.select("*", *_band_cols(bits, n_bands))
+    per = n_planes // n_bands
+    sig_sql = (
+        f"transform({_planes_sql(planes)}, p -> CASE WHEN "
+        f"aggregate(zip_with(transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), p, "
+        f"(x, y) -> x * y), 0D, (a, x) -> a + x) > 0D THEN 1 ELSE 0 END)"
+    )
+    tmp = df.withColumn("__srp_sig", F.expr(sig_sql))
+    band_exprs = [
+        F.expr(
+            " + ".join(f"__srp_sig[{b * per + i}] * {1 << i}" for i in range(per))
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return tmp.select(*df.columns, *band_exprs)
 
 
 def _query_bands(query_vec: list[float], n_planes: int, n_bands: int, seed: int) -> list[int]:
@@ -170,35 +182,90 @@ def ivf_topk(
     lists whose centroids are nearest the query, then exact-reranks.
 
     The scale shape (FAISS IVF-Flat, re-expressed in Spark): train the
-    quantizer on a sample, assign each vector to its nearest centroid
-    (scan-stage kmeans transform), and persist partitioned by
-    ``list_id`` so a probe prunes to n_probe/n_lists of the data via
-    partition pruning. Here assignment happens inline; the probe is a
-    small-int ``isin`` filter. Seeded k-means → deterministic lists.
+    quantizer on a BOUNDED DRIVER-SIDE SAMPLE (FAISS trains on ≤ a few
+    hundred k vectors no matter the corpus size — at 100 TB you fetch
+    ≤64k vectors, never the corpus), broadcast the centroids as a SQL
+    literal, assign each vector scan-stage (argmax of centroid dot
+    products — spherical k-means, so cosine argmax IS nearest-centroid
+    on the unit sphere), and persist partitioned by ``list_id`` so a
+    probe prunes to n_probe/n_lists of the data via partition pruning.
+    Here assignment happens inline; the probe is a small-int ``isin``
+    filter. Seeded sample + seeded Lloyd's → deterministic lists, and
+    no per-call distributed training jobs.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # Cluster on L2-NORMALIZED vectors (spherical k-means shape): on the
-    # unit sphere euclidean distance is monotone in cosine, so euclidean
-    # lists agree with the cosine rerank — unnormalized k-means buckets
-    # by magnitude and wrecks recall for cosine queries.
+    C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
     v = to_double_array(vec_col)
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
-    feats = df.select(F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("fv"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="fv", predictionCol="list_id")
-    model = km.fit(feats)
-    assigned = model.transform(feats)
-    centroids = model.clusterCenters()  # list of numpy arrays
+    # __nrm MUST be materialized as its own column before the transform
+    # lambda divides by it: referenced inline, the O(d) norm fold is
+    # re-evaluated for EVERY element (O(d²) per row, interpreted —
+    # higher-order functions skip codegen). As a multiply-referenced
+    # non-cheap alias it survives CollapseProject, so it's computed
+    # once per row.
+    unit = F.when(
+        F.col("__nrm") > 0, F.transform(v, lambda x: x / F.col("__nrm"))
+    ).otherwise(v)
+    dots_sql = (
+        f"transform({_planes_sql(C)}, c -> "
+        f"aggregate(zip_with(__unit, c, (x, y) -> x * y), 0D, (a, x) -> a + x))"
+    )
+    assigned = (
+        df.withColumn("__nrm", nrm)
+        .withColumn("__unit", unit)
+        .withColumn("__dots", F.expr(dots_sql))
+        .withColumn(
+            "list_id", (F.expr("array_position(__dots, array_max(__dots))") - 1).cast("int")
+        )
+    )
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
     if qn > 0:
         q = q / qn
-    order = sorted(range(len(centroids)), key=lambda i: float(np.linalg.norm(centroids[i] - q)))
+    order = sorted(range(len(C)), key=lambda i: -float(np.dot(C[i], q)))
     probe = order[:n_probe]
     cands = assigned.filter(F.col("list_id").isin(*probe)).select(id_col, vec_col)
     return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)
+
+
+IVF_TRAIN_MAX = 65_536
+
+
+def _train_spherical_quantizer(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    train_max: int = IVF_TRAIN_MAX,
+    max_iter: int = 25,
+) -> np.ndarray:
+    """Seeded Lloyd's spherical k-means on a deterministic bounded
+    sample (first ``train_max`` ids — a TakeOrdered fetch, the only
+    corpus access during training). Centroids are re-normalized each
+    round, so nearest-centroid == cosine argmax. Returns (n_lists, d)."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(train_max)
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X / np.where(norms > 0, norms, 1.0)[:, None]
+    k = min(n_lists, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(max_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.vstack(
+            [X[assign == j].mean(axis=0) if np.any(assign == j) else C[j] for j in range(k)]
+        )
+        nn = np.linalg.norm(newC, axis=1)
+        newC = newC / np.where(nn > 0, nn, 1.0)[:, None]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
 
 
 def embedding_dup_pairs(
