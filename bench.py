@@ -66,6 +66,13 @@ BENCH_QUERIES = [
 
 
 def _run_once(fn, spark, sf_dir: str) -> float:
+    # Drop the dedup memo artifacts (shingle index, pair graph) so a
+    # timed run measures the OPERATOR, not a cache hit from its own
+    # warmup — the bench reports per-run cost; intra-session artifact
+    # reuse is a feature, not a benchmark number.
+    from sql_engine_spark.operators.dedup import clear_shingle_index
+
+    clear_shingle_index()
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     # noop write: every output column is computed and serialized, so

@@ -69,6 +69,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 # (corpus, n) combinations per session; `clear_shingle_index()`
 # unpersists everything.
 _SHINGLE_INDEX: dict[tuple, DataFrame] = {}
+_PAIR_GRAPH: dict[tuple, DataFrame] = {}
 
 
 def shingle_index(
@@ -97,15 +98,16 @@ def shingle_index(
 
 
 def clear_shingle_index() -> None:
-    """Unpersist and drop every memoized shingle index (test/session
-    hygiene; also the answer to the cache-entry-leak concern — the
-    cache is explicit and collectively releasable)."""
-    for sh in _SHINGLE_INDEX.values():
-        try:
-            sh.unpersist()
-        except Exception:
-            pass
-    _SHINGLE_INDEX.clear()
+    """Unpersist and drop every memoized shingle index and pair graph
+    (test/session hygiene; also the answer to the cache-entry-leak
+    concern — the caches are explicit and collectively releasable)."""
+    for memo in (_SHINGLE_INDEX, _PAIR_GRAPH):
+        for cached in memo.values():
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        memo.clear()
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
@@ -241,8 +243,25 @@ def ngram_jaccard_pairs(
     # (shingle_hashes): integer join keys and integer intersections, no
     # string shuffles.
     sh = shingle_index(df, id_col, text_col, n)
+    # The verified pair GRAPH is the second memoized artifact: dedup
+    # (x01-style keep-one), survivor selection, and connected
+    # components all consume the same (id_a, id_b, jaccard) set, and
+    # its size is O(near-dup pairs) — tiny next to the corpus. Keyed
+    # like the shingle index plus (threshold, prefix_order).
+    try:
+        key = (
+            id(df.sparkSession), df.semanticHash(), id_col, text_col, n,
+            round(threshold * 1_000_000), prefix_order,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _PAIR_GRAPH:
+        return _PAIR_GRAPH[key]
     cands = _candidate_pairs(sh, threshold, prefix_order)
-    return _verify_pairs_jaccard(cands, sh, threshold)
+    out = _verify_pairs_jaccard(cands, sh, threshold).persist(StorageLevel.MEMORY_AND_DISK)
+    if key is not None:
+        _PAIR_GRAPH[key] = out
+    return out
 
 
 def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> DataFrame:
@@ -435,6 +454,7 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    driver_threshold: int = 1 << 20,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     vertex gets the MINIMUM id reachable through pairs as its canonical
@@ -459,7 +479,17 @@ def connected_components(
     lineage between rounds. Convergence is detected from a single
     (count, hash-sum) scalar per round — edges never leave the
     executors. At fixpoint the edge set is exactly {(v, min of v's
-    component)}, i.e. the answer."""
+    component)}, i.e. the answer.
+
+    **Size-gated hybrid** (the broadcast-join-threshold pattern): when
+    the deduped edge set fits comfortably on the driver
+    (``driver_threshold`` edges, default 2²⁰ ≈ 16 MB), skip the
+    iterative job entirely and run a path-compressed union-find there
+    — the dup-pair graph of a curated corpus is normally minuscule
+    next to the corpus, and one collect of an already-materialized
+    edge list beats ~5 rounds × several stages of scheduling. The
+    distributed LS/SS path is the ≥threshold path (and the
+    ``driver_threshold=0`` path in tests)."""
     # Canonical orientation: (u, v) with u > v, deduped.
     e = (
         pairs.select(
@@ -470,6 +500,30 @@ def connected_components(
         .localCheckpoint()
     )
     spark = pairs.sparkSession
+    if driver_threshold > 0 and e.count() <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            ru, rv = find(row.u), find(row.v)
+            if ru != rv:  # union by MIN label (component = min id)
+                hi, lo = (ru, rv) if ru > rv else (rv, ru)
+                parent[hi] = lo
+        labels_rows = [(x, find(x)) for x in parent]
+        lab = spark.createDataFrame(labels_rows, "id long, component long")
+        out = vertices.select(F.col(id_col).alias("id")).join(
+            F.broadcast(lab), "id", "left"
+        )
+        return out.select(
+            F.col("id").alias(id_col), F.coalesce("component", "id").alias("component")
+        )
     # The iterative loop runs many tiny multi-stage jobs; size its
     # shuffles to the session's core count for the duration (a
     # production CC job sizes shuffle partitions to its edge volume),

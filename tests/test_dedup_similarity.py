@@ -123,7 +123,7 @@ def test_connected_components_100_hop_chain_logarithmic_rounds(spark):
         [(i, i + 1) for i in range(100)], "id_a long, id_b long"
     )
     verts = spark.createDataFrame([(i,) for i in range(101)], "doc_id long")
-    out = D.connected_components(edges, verts, max_iterations=8)
+    out = D.connected_components(edges, verts, max_iterations=8, driver_threshold=0)
     labels = {r.doc_id: r.component for r in out.collect()}
     assert len(labels) == 101
     assert set(labels.values()) == {0}
@@ -154,11 +154,18 @@ def test_connected_components_random_graph_matches_union_find(spark):
 
     e_df = spark.createDataFrame(edges, "id_a long, id_b long")
     v_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
-    got = {
+    # Both the driver-side union-find fast path (default gate) and the
+    # distributed LS/SS path (gate forced off) must match the oracle.
+    got_fast = {
         r.doc_id: r.component
         for r in D.connected_components(e_df, v_df).collect()
     }
-    assert got == want
+    got_dist = {
+        r.doc_id: r.component
+        for r in D.connected_components(e_df, v_df, driver_threshold=0).collect()
+    }
+    assert got_fast == want
+    assert got_dist == want
 
 
 # --- similarity ------------------------------------------------------
