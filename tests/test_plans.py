@@ -267,3 +267,36 @@ def test_curation_funnel_is_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 2
     assert "Join" not in plan
+
+
+def test_domain_mix_filter_is_scan_stage(spark, sf_dir):
+    """x41: the mixture keep-filter is pure scan-stage arithmetic —
+    the only exchange in the matrix entry is its per-source count."""
+    plan = _plan(matrix.QUERIES["x41_domain_mix"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_quantified_all_broadcasts_both_subqueries(spark, sf_dir):
+    """g47: both quantifier subqueries collapse to broadcast sides —
+    the big part scan must never shuffle or nested-loop against them."""
+    plan = _plan(matrix.QUERIES["g47_quantified_all"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_full_outer_preaggregates_before_join(spark, sf_dir):
+    """g46: both sides aggregate to ≤ nation-cardinality BEFORE the
+    full outer join — the join runs on tiny inputs, and neither base
+    scan reaches the join unaggregated."""
+    plan = _plan(matrix.QUERIES["g46_full_outer"](spark, sf_dir))
+    assert "FullOuter" in plan.replace(" ", "")
+    assert plan.index("HashAggregate") < plan.index("Scan parquet")
+
+
+def test_recursive_cte_heavy_side_single_agg(spark, sf_dir):
+    """g45: the 80-row recursion must join the pre-aggregated monthly
+    revenue (one aggregate over orders), never the raw orders scan."""
+    plan = _plan(matrix.QUERIES["g45_recursive_cte"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
