@@ -59,6 +59,7 @@ _DRIVER_ORDER = [
     "x33_contamination", "x34_tfidf_topterms", "x35_sequence_packing",
     "x36_regex_scrub", "x37_repetition", "x38_containment", "x39_vocab_oov",
     "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
+    "x43_bigram_rarity", "x44_cross_source_dups", "x45_split_assignment",
     "s07_stream_static_enrich",
     # -- remaining Tier X -----------------------------------------
     "x09_text_token_stats", "x10_text_quality", "x11_text_langid",

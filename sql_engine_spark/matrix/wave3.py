@@ -331,3 +331,94 @@ def s07_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.run_to_batch(
         SW.static_enrich_agg(stream, dims, width="1 hour"), output_mode="complete"
     )
+
+
+# ---------------------------------------------------------------------
+# Curation wave 3b: LM-based quality, leakage reporting, splits
+# ---------------------------------------------------------------------
+
+
+@query(
+    "x43_bigram_rarity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b FROM tok),
+    counts AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    per AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(n.n // counts.c) AS BIGINT) AS sum_inv
+      FROM bg JOIN counts USING (b) CROSS JOIN n GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_inv,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(sum_inv AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                ELSE 0.0 END AS rarity
+    FROM per
+    """,
+)
+def x43_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM rarity scoring (operators/pipeline
+    .bigram_lm_score) — the perplexity-filter shape without a neural
+    LM. Surprisal proxy is integer (N DIV count), so the per-doc sum
+    is order-independent; rarity is the one final double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.bigram_lm_score(docs)
+
+
+def _x44_oracle() -> str:
+    from sql_engine_spark.matrix.ext import _JACCARD_PAIRS_CTE
+
+    return f"""
+    WITH {_JACCARD_PAIRS_CTE},
+    p AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8)
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p JOIN documents da ON da.doc_id = p.id_a
+           JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """
+
+
+@query("x44_cross_source_dups", oracle=_x44_oracle())
+def x44_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-leakage matrix (operators/pipeline
+    .cross_source_dup_matrix): near-dup pairs per unordered (source,
+    source) combination — which domains plagiarize which. Consumes
+    the MEMOIZED pair graph (dedup.ngram_jaccard_pairs), so after any
+    Jaccard dedup in the session the marginal cost is two id→source
+    joins of a tiny pair set."""
+    from sql_engine_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return P.cross_source_dup_matrix(docs, pairs)
+
+
+@query(
+    "x45_split_assignment",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN ((doc_id * {P.SPLIT_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
+                       < CAST(10000 AS BIGINT) * 1048576 THEN 'test'
+                  WHEN ((doc_id * {P.SPLIT_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
+                       < CAST(20000 AS BIGINT) * 1048576 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def x45_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/pipeline
+    .assign_splits, 1%/1% val/test): integer-hash ranges on a
+    DIFFERENT multiplier than the mixture sampler, so split and mix
+    are independent. The oracle replays the arithmetic; per-source
+    counts pin the proportions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.assign_splits(docs).groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -402,3 +402,116 @@ def length_histogram(
         "n_docs",
         (F.col("n_docs").cast("double") / total.cast("double")).alias("share"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-LM rarity score — the statistical quality filter of a
+    pretraining pipeline (the perplexity-filter shape, without a
+    neural LM): train a bigram count model ON the corpus itself, then
+    score every doc by its mean inverse bigram frequency.
+
+    Exactness: the per-bigram surprisal proxy is ``N DIV c(b)``
+    (integer division by the corpus count) — an integer, so the
+    per-doc sum is order-independent under Spark's parallel
+    aggregation, and ``rarity`` is the single final double division
+    (sum / n_bigrams). No log/libm anywhere.
+
+    Scale: bigram counting is one explode + groupBy shuffle; the
+    count join keys on the SAME bigram column, so it reuses that
+    partitioning (no extra exchange); the per-doc rollup is the
+    second real shuffle. Counts are corpus-wide — no driver state.
+    """
+    w = F.split(F.col(text_col), " ")
+    sz = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(sz - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(sz - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("b"))
+    counts = exploded.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    n_total = counts.agg(F.sum("c").cast("long").alias("n"))
+    scored = (
+        exploded.join(counts, "b")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("n DIV c")).cast("long").alias("sum_inv"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "sum_inv",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("sum_inv").cast("double") / F.col("n_bigrams").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("rarity"),
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: how many near-dup pairs
+    span each (source, source) combination — the report that tells a
+    mixture designer which domains plagiarize which (and how much
+    mass exact-dedup will move between them). Pair orientation is
+    canonicalized (least, greatest) so the matrix is upper-triangular.
+
+    Scale: the pair graph is O(near-dups) — tiny next to the corpus —
+    so both id→source lookups join against the corpus with the pair
+    side as the (broadcastable) probe; one final small groupBy.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("src"))
+    j = (
+        pairs.join(src.withColumnRenamed("src", "src_a"), pairs["id_a"] == src["id"])
+        .drop("id")
+        .join(
+            src.withColumnRenamed("src", "src_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# Split-assignment hash constant — a DIFFERENT odd multiplier than
+# MIX_HASH_K so the split is statistically independent of mixture
+# sampling (same multiplier would make e.g. 'test' docs exactly the
+# ones a low-ppm mix drops). 2246822519 = xxhash32 prime 2.
+SPLIT_HASH_K = 2246822519
+
+
+def assign_splits(
+    df: DataFrame,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: the same
+    integer-hash coin flip as :func:`weighted_mix` (different
+    multiplier), carved into three ranges — [0, test) → 'test',
+    [test, test+val) → 'val', rest → 'train'. No RNG, stable under
+    re-partitioning/retries, reproducible across engines — the
+    properties a dataset split actually needs. Pure scan-stage
+    expression; compare in cross-multiplied integers."""
+    h = (F.col(id_col).cast("long") * F.lit(SPLIT_HASH_K)) % F.lit(_MIX_BUCKETS)
+    t_edge = h * F.lit(1_000_000) < F.lit(test_ppm).cast("long") * F.lit(_MIX_BUCKETS)
+    v_edge = h * F.lit(1_000_000) < F.lit(test_ppm + val_ppm).cast("long") * F.lit(_MIX_BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(t_edge, F.lit("test")).when(v_edge, F.lit("val")).otherwise(F.lit("train")),
+    )

@@ -104,3 +104,49 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
     g = {(r.window_start, r.event_type): (r.n_events, r.weighted_value) for r in got.collect()}
     b = {(r.window_start, r.event_type): (r.n_events, r.weighted_value) for r in batch.collect()}
     assert g == b
+
+
+def test_bigram_rarity_prefers_rare_docs(spark):
+    from sql_engine_spark.operators.pipeline import bigram_lm_score
+
+    rows = [(i, "the cat sat on the mat", f"s{i}") for i in range(9)]
+    rows.append((9, "zephyr quixotic umbral glyph", "s9"))  # unique bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    common = out[0]
+    rare = out[9]
+    assert rare.rarity > common.rarity  # unseen bigrams score rarer
+    assert common.n_bigrams == 5 and rare.n_bigrams == 3
+    # integer surprisal: 48 total bigrams (9·5 + 3); rare counts are 1
+    assert rare.sum_inv == 3 * 48 and rare.rarity == 48.0
+
+
+def test_split_assignment_proportions_and_determinism(spark):
+    from sql_engine_spark.operators.pipeline import SPLIT_HASH_K, assign_splits
+
+    df = spark.createDataFrame(
+        [(i, "t", "s") for i in range(20_000)], "doc_id long, text string, source string"
+    )
+    out = assign_splits(df, val_ppm=100_000, test_ppm=100_000)  # 10%/10%
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["train"] + counts["val"] + counts["test"] == 20_000
+    assert 0.08 < counts["test"] / 20_000 < 0.12  # hash-uniform ≈ 10%
+    assert 0.08 < counts["val"] / 20_000 < 0.12
+    # exactly the documented arithmetic, partitioning-independent
+    h = lambda i: (i * SPLIT_HASH_K) % (1 << 20)
+    want_test = sum(1 for i in range(20_000) if h(i) * 1_000_000 < 100_000 * (1 << 20))
+    assert counts["test"] == want_test
+
+
+def test_cross_source_matrix_counts_pairs_once(spark):
+    from sql_engine_spark.operators.pipeline import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a", "web"), (2, "b", "web"), (3, "c", "books"), (4, "d", "code")],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {(r.source_a, r.source_b): r.n_pairs for r in cross_source_dup_matrix(docs, pairs).collect()}
+    assert out == {("web", "web"): 1, ("books", "web"): 1, ("books", "code"): 1}
