@@ -60,6 +60,7 @@ _DRIVER_ORDER = [
     "x36_regex_scrub", "x37_repetition", "x38_containment", "x39_vocab_oov",
     "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
     "x43_bigram_rarity", "x44_cross_source_dups", "x45_split_assignment",
+    "x46_source_cap", "x47_token_budget",
     "s07_stream_static_enrich",
     # -- remaining Tier X -----------------------------------------
     "x09_text_token_stats", "x10_text_quality", "x11_text_langid",

@@ -422,3 +422,64 @@ def x45_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.assign_splits(docs).groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "x46_source_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY (doc_id * {P.MIX_HASH_K}) % 1048576, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM r WHERE rn <= 100 GROUP BY source
+    """,
+)
+def x46_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/pipeline.cap_per_source,
+    cap=100): keep up to N docs per source in deterministic hash
+    order. id_sum pins the exact kept set; the oracle replays the
+    identical window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.cap_per_source(docs, cap=100).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
+    "x47_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (doc_id * {P.MIX_HASH_K}) % 1048576 AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM c WHERE cum <= 2000 GROUP BY source
+    """,
+)
+def x47_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget subset (operators/pipeline
+    .token_budget_subset, budget=2000 tokens): the reproducible
+    hash-order prefix whose running token total fits the budget.
+    total_tokens proves every source lands ≤ budget; id_sum pins the
+    set."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = P.token_budget_subset(docs, budget=2000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

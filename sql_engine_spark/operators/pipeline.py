@@ -418,10 +418,15 @@ def bigram_lm_score(
     aggregation, and ``rarity`` is the single final double division
     (sum / n_bigrams). No log/libm anywhere.
 
-    Scale: bigram counting is one explode + groupBy shuffle; the
-    count join keys on the SAME bigram column, so it reuses that
-    partitioning (no extra exchange); the per-doc rollup is the
-    second real shuffle. Counts are corpus-wide — no driver state.
+    Scale: bigram counting is one explode + groupBy shuffle into a
+    VOCABULARY-sized table (≪ corpus), which Spark broadcasts back
+    onto the exploded probe side while it fits (the observed plan at
+    test scale: BroadcastHashJoin on ``b``, zero probe-side shuffle)
+    and degrades to a bigram-keyed shuffle join beyond the broadcast
+    threshold. The corpus is scanned twice (probe explode + count
+    explode) — deliberately: persisting the exploded bigram stream
+    would cost more than the second columnar scan. The per-doc rollup
+    is the one unavoidable shuffle on id. No driver state.
     """
     w = F.split(F.col(text_col), " ")
     sz = F.size(w)
@@ -514,4 +519,65 @@ def assign_splits(
     return df.withColumn(
         "split",
         F.when(t_edge, F.lit("test")).when(v_edge, F.lit("val")).otherwise(F.lit("train")),
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-domain document cap ("at most N examples per domain"):
+    keep up to ``cap`` docs per source, chosen in the deterministic
+    mix-hash order — stable under re-partitioning and unbiased by
+    ingestion order (a plain LIMIT would keep whatever arrived
+    first). One shuffle: the per-source row_number window.
+
+    At 100 TB the window sort is per-source; a pathologically hot
+    source makes one partition sort big (not wide) — AQE skew-split
+    applies, and cap selection never needs global state.
+    """
+    h = (F.col(id_col).cast("long") * F.lit(MIX_HASH_K)) % F.lit(_MIX_BUCKETS)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def token_budget_subset(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-domain token budget ("sample ~1B tokens per domain"): walk
+    each source's docs in deterministic hash order and keep them while
+    the running token total stays ≤ ``budget`` — the subset UNDERSHOOTS
+    rather than overruns (the first doc that would cross the budget,
+    and everything after it in hash order, is dropped... docs later in
+    the order that still fit do NOT re-enter; the walk is a prefix, so
+    the kept set is a clean reproducible prefix, not a best-fit pack —
+    use :func:`pack_sequences` machinery when best-fit matters).
+
+    Exact: token counts and the running sum are int64; the keep test
+    is an integer comparison. One shuffle (per-source running-sum
+    window).
+    """
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    h = (F.col(id_col).cast("long") * F.lit(MIX_HASH_K)) % F.lit(_MIX_BUCKETS)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__n_tokens", n)
+        .withColumn("__cum", F.sum("__n_tokens").over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+        .withColumnRenamed("__n_tokens", "n_tokens")
     )

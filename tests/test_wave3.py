@@ -150,3 +150,36 @@ def test_cross_source_matrix_counts_pairs_once(spark):
     )
     out = {(r.source_a, r.source_b): r.n_pairs for r in cross_source_dup_matrix(docs, pairs).collect()}
     assert out == {("web", "web"): 1, ("books", "web"): 1, ("books", "code"): 1}
+
+
+def test_cap_and_token_budget_are_hash_order_prefixes(spark):
+    from sql_engine_spark.operators.pipeline import (
+        MIX_HASH_K,
+        cap_per_source,
+        token_budget_subset,
+    )
+
+    rows = [(i, " ".join(["w"] * (10 + i % 5)), f"s{i % 2}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    capped = cap_per_source(df, cap=10)
+    by_src = {}
+    for r in capped.collect():
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    h = lambda i: (i * MIX_HASH_K) % (1 << 20)
+    for src in ("s0", "s1"):
+        ids = [i for i in range(100) if i % 2 == int(src[1])]
+        want = set(sorted(ids, key=lambda i: (h(i), i))[:10])
+        assert set(by_src[src]) == want  # exactly the 10 smallest-hash docs
+    sub = token_budget_subset(df, budget=100)
+    for r in sub.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect():
+        assert r.t <= 100  # budget never overrun
+    # prefix property: kept set = longest hash-order prefix fitting
+    kept_s0 = {r.doc_id for r in sub.collect() if r.source == "s0"}
+    ids = sorted((i for i in range(100) if i % 2 == 0), key=lambda i: (h(i), i))
+    cum, want = 0, set()
+    for i in ids:
+        cum += 10 + i % 5
+        if cum > 100:
+            break
+        want.add(i)
+    assert kept_s0 == want
