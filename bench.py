@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "x35_sequence_packing",
     "x38_containment",
     "x40_curation_pipeline",
+    "x41_domain_mix",
+    "x43_bigram_rarity",
+    "x46_source_cap",
     "s01_stream_tumbling",
 ]
 
