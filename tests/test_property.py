@@ -142,3 +142,45 @@ def test_skyline_null_dimensions_match_3vl_oracle(spark, rows):
         key=lambda p: (p[0] is None, p[0], p[1] is None, p[1]),
     )
     assert got == _brute_skyline_3vl(rows)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30, unique=True),
+    ppm=st.integers(min_value=0, max_value=1_000_000),
+)
+@SLOW_SPARK
+def test_weighted_mix_matches_arithmetic_for_any_rate(spark, ids, ppm):
+    """For ANY keep rate, the kept set is exactly the documented
+    integer arithmetic — no float boundary can flip a row."""
+    from sql_engine_spark.operators.pipeline import MIX_HASH_K, weighted_mix
+
+    df = spark.createDataFrame([(i, "t", "s") for i in ids], "doc_id long, text string, source string")
+    got = sorted(r.doc_id for r in weighted_mix(df, {"s": ppm}).collect())
+    want = sorted(
+        i for i in ids if ((i * MIX_HASH_K) % (1 << 20)) * 1_000_000 < ppm * (1 << 20)
+    )
+    assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30, unique=True),
+    val_ppm=st.integers(min_value=0, max_value=400_000),
+    test_ppm=st.integers(min_value=0, max_value=400_000),
+)
+@SLOW_SPARK
+def test_split_assignment_partitions_exactly(spark, ids, val_ppm, test_ppm):
+    """Splits are a PARTITION (every row exactly one label) matching
+    the documented hash ranges for any (val, test) rates."""
+    from sql_engine_spark.operators.pipeline import SPLIT_HASH_K, assign_splits
+
+    df = spark.createDataFrame([(i, "t", "s") for i in ids], "doc_id long, text string, source string")
+    got = {r.doc_id: r.split for r in assign_splits(df, val_ppm=val_ppm, test_ppm=test_ppm).collect()}
+    for i in ids:
+        h = (i * SPLIT_HASH_K) % (1 << 20)
+        if h * 1_000_000 < test_ppm * (1 << 20):
+            want = "test"
+        elif h * 1_000_000 < (test_ppm + val_ppm) * (1 << 20):
+            want = "val"
+        else:
+            want = "train"
+        assert got[i] == want
