@@ -77,7 +77,7 @@ _DRIVER_ORDER = [
     "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
     "g42_values_inline", "g43_percentiles", "g44_ntile", "g45_recursive_cte",
     "g46_full_outer", "g47_quantified_all", "g48_semi_anti_join",
-    "g49_grouping_id",
+    "g49_grouping_id", "g50_rank_family",
     # -- green in CORRECTNESS_r01 --------------------------------
     "e01_scan_project", "e02_star", "e03_filter_comparisons",
     "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",

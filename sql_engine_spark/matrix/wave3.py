@@ -483,3 +483,36 @@ def x47_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+@query(
+    "g50_rank_family",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist
+    FROM customer
+    WHERE c_acctbal > 9000
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+    """,
+)
+def g50_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions — DENSE_RANK,
+    PERCENT_RANK, CUME_DIST — over a named WINDOW clause in Spark SQL
+    text. Both engines compute the two ratio functions as exact small
+    rationals ((rank−1)/(n−1), rows≤current/n) from int64 counters, so
+    the doubles hash-match. Ordered by the unique c_custkey →
+    deterministic."""
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_custkey,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cdist
+        FROM {customer}
+        WHERE c_acctbal > 9000
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+        """,
+        customer=load_table(spark, sf_dir, "customer"),
+    )
