@@ -82,7 +82,12 @@ def shingle_index(
     semantic hash so repeated calls (same session, same corpus) return
     the SAME persisted DataFrame."""
     try:
-        key = (id(df.sparkSession), df.semanticHash(), id_col, text_col, n)
+        # schema joins the key so a 32-bit semanticHash collision
+        # between different corpora cannot silently alias them
+        key = (
+            id(df.sparkSession), df.semanticHash(), df.schema.simpleString(),
+            id_col, text_col, n,
+        )
     except Exception:  # plans without a semantic hash: build uncached
         key = None
     if key is not None and key in _SHINGLE_INDEX:
@@ -250,7 +255,8 @@ def ngram_jaccard_pairs(
     # like the shingle index plus (threshold, prefix_order).
     try:
         key = (
-            id(df.sparkSession), df.semanticHash(), id_col, text_col, n,
+            id(df.sparkSession), df.semanticHash(), df.schema.simpleString(),
+            id_col, text_col, n,
             round(threshold * 1_000_000), prefix_order,
         )
     except Exception:
