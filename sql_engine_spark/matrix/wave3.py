@@ -237,7 +237,7 @@ def _mix_case_sql() -> str:
     oracle=f"""
     WITH kept AS (
       SELECT doc_id, source FROM documents
-      WHERE ((doc_id * {P.MIX_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
+      WHERE (((doc_id % 1048576) * {P.MIX_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
             < ({_mix_case_sql()}) * CAST(1048576 AS BIGINT)
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -401,9 +401,9 @@ def x44_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
       SELECT source,
-             CASE WHEN ((doc_id * {P.SPLIT_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
+             CASE WHEN (((doc_id % 1048576) * {P.SPLIT_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
                        < CAST(10000 AS BIGINT) * 1048576 THEN 'test'
-                  WHEN ((doc_id * {P.SPLIT_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
+                  WHEN (((doc_id % 1048576) * {P.SPLIT_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
                        < CAST(20000 AS BIGINT) * 1048576 THEN 'val'
                   ELSE 'train' END AS split
       FROM documents
@@ -430,7 +430,7 @@ def x45_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT doc_id, source,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY (doc_id * {P.MIX_HASH_K}) % 1048576, doc_id) AS rn
+                                ORDER BY ((doc_id % 1048576) * {P.MIX_HASH_K}) % 1048576, doc_id) AS rn
       FROM documents
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -456,7 +456,7 @@ def x46_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             (doc_id * {P.MIX_HASH_K}) % 1048576 AS h
+             ((doc_id % 1048576) * {P.MIX_HASH_K}) % 1048576 AS h
       FROM documents
     ),
     c AS (

@@ -340,9 +340,19 @@ def _containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
 # Knuth's multiplicative constant ⌊2³²/φ⌋ — the per-row "coin flip" is
 # (id·K) mod 2²⁰, a deterministic hash both engines can compute with
 # plain int64 arithmetic (no engine-specific hash function, no RNG
-# state). id ≤ ~2⁵² / K keeps the product inside int64.
+# state). The low 2²⁰ bits of the product depend only on the low 2²⁰
+# bits of id, so the id is reduced mod 2²⁰ FIRST: identical result,
+# and the intermediate (< 2²⁰·K ≈ 2⁵²) can never overflow int64 for
+# ANY id — no ANSI-overflow cliff at id ≈ 2⁶³/K.
 MIX_HASH_K = 2654435761
 _MIX_BUCKETS = 1 << 20
+
+
+def _coin_hash(id_col: str, k: int) -> Column:
+    return F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(_MIX_BUCKETS)) * F.lit(k),
+        F.lit(_MIX_BUCKETS),
+    )
 
 
 def weighted_mix(
@@ -367,7 +377,7 @@ def weighted_mix(
     """
     m = F.create_map(*[F.lit(x) for kv in weights_ppm.items() for x in kv])
     ppm = F.coalesce(m[F.col(source_col)], F.lit(0)).cast("long")
-    h = (F.col(id_col).cast("long") * F.lit(MIX_HASH_K)) % F.lit(_MIX_BUCKETS)
+    h = _coin_hash(id_col, MIX_HASH_K)
     return df.where(h * F.lit(1_000_000) < ppm * F.lit(_MIX_BUCKETS))
 
 
@@ -513,7 +523,7 @@ def assign_splits(
     re-partitioning/retries, reproducible across engines — the
     properties a dataset split actually needs. Pure scan-stage
     expression; compare in cross-multiplied integers."""
-    h = (F.col(id_col).cast("long") * F.lit(SPLIT_HASH_K)) % F.lit(_MIX_BUCKETS)
+    h = _coin_hash(id_col, SPLIT_HASH_K)
     t_edge = h * F.lit(1_000_000) < F.lit(test_ppm).cast("long") * F.lit(_MIX_BUCKETS)
     v_edge = h * F.lit(1_000_000) < F.lit(test_ppm + val_ppm).cast("long") * F.lit(_MIX_BUCKETS)
     return df.withColumn(
@@ -538,7 +548,7 @@ def cap_per_source(
     source makes one partition sort big (not wide) — AQE skew-split
     applies, and cap selection never needs global state.
     """
-    h = (F.col(id_col).cast("long") * F.lit(MIX_HASH_K)) % F.lit(_MIX_BUCKETS)
+    h = _coin_hash(id_col, MIX_HASH_K)
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -568,7 +578,7 @@ def token_budget_subset(
     window).
     """
     n = F.size(F.split(F.col(text_col), " ")).cast("long")
-    h = (F.col(id_col).cast("long") * F.lit(MIX_HASH_K)) % F.lit(_MIX_BUCKETS)
+    h = _coin_hash(id_col, MIX_HASH_K)
     w = (
         Window.partitionBy(source_col)
         .orderBy(h.asc(), F.col(id_col).asc())

@@ -183,3 +183,16 @@ def test_cap_and_token_budget_are_hash_order_prefixes(spark):
             break
         want.add(i)
     assert kept_s0 == want
+
+
+def test_coin_hash_has_no_overflow_cliff_at_huge_ids(spark):
+    """ids near 2⁶² must not trip ANSI int64 overflow: the hash reduces
+    the id mod 2²⁰ before multiplying (same value, bounded product)."""
+    from sql_engine_spark.operators.pipeline import MIX_HASH_K, assign_splits, weighted_mix
+
+    big = [(1 << 62) + i for i in range(6)]
+    df = spark.createDataFrame([(i, "t", "s") for i in big], "doc_id long, text string, source string")
+    kept = {r.doc_id for r in weighted_mix(df, {"s": 500_000}).collect()}
+    want = {i for i in big if ((i % (1 << 20)) * MIX_HASH_K) % (1 << 20) * 1_000_000 < 500_000 * (1 << 20)}
+    assert kept == want
+    assert assign_splits(df).count() == 6  # no ArithmeticException
