@@ -37,47 +37,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver run. Names missing from the list (future additions) sort
 # first of all.
 _DRIVER_ORDER = [
-    # Importance-first under an unknown driver budget (round 1 stopped
-    # at exactly 50 rows when the full pass cost 188 s — consistent
-    # with a ~100 s budget; the pass now fits ~99 s, so ALL entries
-    # should land, but if truncation happens the tail holds only
-    # already-r01-green basics). The driver's entry() smoke runs first
-    # and warms the JVM, so the front of this list is not paying
-    # cold-start for everyone.
-    # -- flagships with no r01 row --------------------------------
-    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
-    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
-    "q22_sales_opportunity",
-    # -- dedup / similarity core (the LLM-pipeline claims) --------
-    "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
-    "x05_dedup_simhash", "x20_dedup_components", "x03_dedup_survivors",
-    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
-    # -- streaming ------------------------------------------------
-    "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
-    "s05_stream_session_window", "s06_stream_interval_join", "s02_stream_sessionize",
-    # -- curation wave 2 + 3 (new this round) ---------------------
-    "x33_contamination", "x34_tfidf_topterms", "x35_sequence_packing",
-    "x36_regex_scrub", "x37_repetition", "x38_containment", "x39_vocab_oov",
-    "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
-    "x43_bigram_rarity", "x44_cross_source_dups", "x45_split_assignment",
-    "x46_source_cap", "x47_token_budget",
-    "s07_stream_static_enrich",
-    # -- remaining Tier X -----------------------------------------
-    "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
-    "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
-    "x15_window_tumbling_batch", "x16_multimodal_features", "x17_text_bpe_tokens",
-    "x19_multimodal_frames", "x21_salted_agg", "x22_text_sentiment",
-    "x23_hierarchical_rollup", "x24_asof_join", "x25_range_join",
-    "x26_multimodal_resize", "x27_skyline", "x28_stratified_sample",
-    "x29_sketch_profile", "x30_mergeable_distinct", "x31_embedding_centroid",
-    "x32_multimodal_decode",
-    # -- grammar: r01-unchecked + new ----------------------------
+    # Round-3 rotation (VERDICT r2 item #1): the 30 entries that have
+    # never received an official driver row — x22–x32 and g32–g50,
+    # green in the judge's independent oracle run but officially
+    # unchecked because rounds 1+2 each recorded exactly the first 50
+    # entries (~100 s budget) — now run FIRST. Everything behind them
+    # already has a CORRECTNESS_r01 or _r02 pass row. The driver's
+    # entry() smoke runs first and warms the JVM, so the front of this
+    # list is not paying cold-start for everyone.
+    # -- never-driver-checked Tier X (x22–x32) --------------------
+    "x22_text_sentiment", "x23_hierarchical_rollup", "x24_asof_join",
+    "x25_range_join", "x26_multimodal_resize", "x27_skyline",
+    "x28_stratified_sample", "x29_sketch_profile", "x30_mergeable_distinct",
+    "x31_embedding_centroid", "x32_multimodal_decode",
+    # -- never-driver-checked grammar (g32–g50) -------------------
     "g32_array_funcs", "g33_window_frames", "g34_grouping_sets", "g35_pivot",
     "g36_not_in_subquery", "g37_intersect_except_all", "g38_cte_reuse",
     "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
     "g42_values_inline", "g43_percentiles", "g44_ntile", "g45_recursive_cte",
     "g46_full_outer", "g47_quantified_all", "g48_semi_anti_join",
     "g49_grouping_id", "g50_rank_family",
+    # -- green in CORRECTNESS_r02 --------------------------------
+    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
+    "q22_sales_opportunity",
+    "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
+    "x05_dedup_simhash", "x20_dedup_components", "x03_dedup_survivors",
+    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
+    "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
+    "s05_stream_session_window", "s06_stream_interval_join", "s02_stream_sessionize",
+    "x33_contamination", "x34_tfidf_topterms", "x35_sequence_packing",
+    "x36_regex_scrub", "x37_repetition", "x38_containment", "x39_vocab_oov",
+    "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
+    "x43_bigram_rarity", "x44_cross_source_dups", "x45_split_assignment",
+    "x46_source_cap", "x47_token_budget",
+    "s07_stream_static_enrich",
+    "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
+    "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
+    "x15_window_tumbling_batch", "x16_multimodal_features", "x17_text_bpe_tokens",
+    "x19_multimodal_frames", "x21_salted_agg",
     # -- green in CORRECTNESS_r01 --------------------------------
     "e01_scan_project", "e02_star", "e03_filter_comparisons",
     "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",

@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and print ONE compact JSON line (the LAST
+stdout line — driver tail-capture safe):
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Spreads, warmups, and ANN-recall operating points go to
+BENCH_DETAIL.json next to this file (and stderr), never the stdout line.
 
 Methodology (round-2 upgrades per VERDICT.md):
 - Each query runs ONE discarded warmup (codegen compile, file-cache
@@ -162,27 +165,50 @@ def main() -> None:
     recall = _ann_recall(spark, sf_dir)
     print(f"# recall@10: {recall}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "runs_per_query": n_runs,
-                "spread": spread,
-                "warmup": warmup,
-                "recall": recall,
-            }
-        )
+
+    detail = {
+        "sf": sf_val,
+        "runs_per_query": n_runs,
+        "spread": spread,
+        "warmup": warmup,
+        "recall": recall,
+    }
+    emit(timings, sf_val, detail)
+
+
+def emit(timings: dict, sf_val, detail: dict) -> str:
+    """Write the detail sidecar and print the compact driver-contract
+    JSON as the LAST stdout line. Returns the line (for tests).
+
+    Detail (spreads, warmups, recall operating points, scale probes)
+    goes to BENCH_DETAIL.json + stderr, NOT the stdout line —
+    BENCH_r02 was lost ("parsed": null) because the one JSON line
+    outgrew the driver's tail capture. The contract line carries ONLY
+    metric/value/unit/queries/sf, nothing optional that could grow it.
+    """
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# detail -> {detail_path}", file=sys.stderr)
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
+    )
+    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":

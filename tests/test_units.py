@@ -313,3 +313,30 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert pf and "event_type" in pf[0], plan
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == n_click
+
+
+def test_bench_contract_line_is_compact(tmp_path, capsys, monkeypatch):
+    """The driver tail-captures bench stdout; BENCH_r02 was lost when
+    the JSON line grew past the capture. Pin the contract: the emitted
+    line carries ONLY metric/value/unit/queries/sf (details go to the
+    sidecar), parses as JSON, and stays small even at full query count."""
+    import json
+
+    import bench
+
+    detail_file = tmp_path / "detail.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail_file))
+    timings = {name: 1.234 for name in bench.BENCH_QUERIES}
+    detail = {"spread": {n: [1.0, 2.0] for n in timings}, "recall": {"x": 1}}
+    line = bench.emit(timings, 0.1, detail)
+    parsed = json.loads(line)
+    assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
+    assert parsed["unit"] == "sec"
+    assert parsed["queries"] == timings
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    assert len(line) < 2048, "contract line must stay tail-capture safe"
+    # stdout: the contract line is the LAST line.
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    assert out_lines[-1] == line
+    # sidecar holds the detail verbatim.
+    assert json.loads(detail_file.read_text())["recall"] == {"x": 1}
