@@ -62,18 +62,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_nanos_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as long nanos.
-    Convert to a microsecond timestamp via integer division (``div`` —
-    exact on int64; a double division would lose precision above 2^53)
-    — the same floor-to-µs DuckDB applies when reading nanos parquet,
-    so both engines see identical timestamps."""
+    """Normalize the events ``ts`` column to TIMESTAMP (LTZ) whatever
+    the corpus stored:
+
+    - parquet TIMESTAMP(NANOS): with ``nanosAsLong`` it surfaces as
+      long nanos → convert via integer division (``div`` — exact on
+      int64; a double division would lose precision above 2^53), the
+      same floor-to-µs DuckDB applies.
+    - parquet TIMESTAMP(MICROS, no tz): surfaces as TIMESTAMP_NTZ →
+      cast to TIMESTAMP. The session time zone is pinned to UTC
+      (session.py), so the wall-clock is reinterpreted as the same
+      instant DuckDB reads — and downstream instant functions
+      (unix_millis, window, watermarks) type-check."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -485,6 +485,17 @@ def x47_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G50_SPARK = """
+SELECT c_nationkey, c_custkey,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist
+FROM {customer}
+WHERE c_acctbal > 9000
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+"""
+
+
 @query(
     "g50_rank_family",
     oracle="""
@@ -504,15 +515,4 @@ def g50_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals ((rank−1)/(n−1), rows≤current/n) from int64 counters, so
     the doubles hash-match. Ordered by the unique c_custkey →
     deterministic."""
-    return spark.sql(
-        """
-        SELECT c_nationkey, c_custkey,
-               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-               PERCENT_RANK() OVER w AS prnk,
-               CUME_DIST() OVER w AS cdist
-        FROM {customer}
-        WHERE c_acctbal > 9000
-        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
-        """,
-        customer=load_table(spark, sf_dir, "customer"),
-    )
+    return spark.sql(_G50_SPARK, customer=load_table(spark, sf_dir, "customer"))

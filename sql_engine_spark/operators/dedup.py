@@ -19,6 +19,8 @@ false positives — only recall is approximate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -43,16 +45,31 @@ def exact_dedup(df: DataFrame, keys: list[str], tiebreak: str) -> DataFrame:
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the
-    source likely produced fewer splits (a small local file reads as
-    ONE partition, serializing expression-heavy stages like shingling
-    onto one core). The heuristic reads ``df.inputFiles()`` — pure
-    file-listing metadata — instead of ``df.rdd.getNumPartitions()``,
-    which would force a deprecated RDD conversion of the whole plan.
-    At real scale inputs span many files/row-groups and already carry
-    ≥ cores splits, so this is a no-op — no shuffle is added."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    source likely produced fewer usable splits than cores (a small
+    local parquet file is typically ONE row group, and a row group
+    cannot be split across tasks — so expression-heavy stages fused
+    into the scan run on one core no matter the split count). The
+    heuristic reads ``df.inputFiles()`` + file sizes — pure metadata —
+    instead of ``df.rdd.getNumPartitions()``, which would force a
+    deprecated RDD conversion of the whole plan.
+
+    Gated on BOTH file count and total bytes: a single LARGE splittable
+    file (≥ ~64 MiB/core) already carries ≥ cores row-group splits, so
+    only genuinely small inputs — where the repartition shuffle is a
+    few MB, i.e. free — pay one. At real scale inputs span many
+    files/row-groups and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
     try:
-        few_files = len(df.inputFiles()) < target
+        files = df.inputFiles()
+        few_files = len(files) < target
+        if few_files:
+            total = 0
+            for uri in files:
+                path = uri[len("file:"):] if uri.startswith("file:") else uri
+                total += os.path.getsize(path)
+            # ≥64 MiB/core of input → plenty of row groups to split.
+            few_files = total < target * 64 * 1024 * 1024
     except Exception:  # non-file-backed plans: assume already parallel
         few_files = False
     if few_files:
@@ -70,6 +87,41 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 # unpersists everything.
 _SHINGLE_INDEX: dict[tuple, DataFrame] = {}
 _PAIR_GRAPH: dict[tuple, DataFrame] = {}
+_ORDERED_INDEX: dict[tuple, DataFrame] = {}
+_SIG_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _session_token(spark) -> object:
+    """Stable memo key for a session. ``id(sparkSession)`` can be
+    REUSED by a new session after the old one is garbage-collected,
+    which would hand back persisted DataFrames bound to a dead session;
+    the JVM session UUID is unique per session lifetime."""
+    try:
+        return spark._jsparkSession.sessionUUID()
+    except Exception:
+        return id(spark)
+
+
+def _memo_persist(memo: dict, extra_key: tuple, df: DataFrame, build) -> DataFrame:
+    """Memoized ``build()`` result, persisted MEMORY_AND_DISK, keyed by
+    (session, input plan semantic hash, schema, *extra_key). The schema
+    joins the key so a 32-bit semanticHash collision between different
+    corpora cannot silently alias them. Plans without a semantic hash
+    build uncached (still persisted-free, correct)."""
+    try:
+        key = (
+            _session_token(df.sparkSession),
+            df.semanticHash(),
+            df.schema.simpleString(),
+        ) + extra_key
+    except Exception:
+        key = None
+    if key is not None and key in memo:
+        return memo[key]
+    out = build().persist(StorageLevel.MEMORY_AND_DISK)
+    if key is not None:
+        memo[key] = out
+    return out
 
 
 def shingle_index(
@@ -81,35 +133,31 @@ def shingle_index(
     ``pipeline.containment_pairs``. Memoized on the input plan's
     semantic hash so repeated calls (same session, same corpus) return
     the SAME persisted DataFrame."""
-    try:
-        # schema joins the key so a 32-bit semanticHash collision
-        # between different corpora cannot silently alias them
-        key = (
-            id(df.sparkSession), df.semanticHash(), df.schema.simpleString(),
-            id_col, text_col, n,
-        )
-    except Exception:  # plans without a semantic hash: build uncached
-        key = None
-    if key is not None and key in _SHINGLE_INDEX:
-        return _SHINGLE_INDEX[key]
-    sh = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
-        .withColumn("sz", F.size("sh"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    if key is not None:
-        _SHINGLE_INDEX[key] = sh
-    return sh
+    return _memo_persist(
+        _SHINGLE_INDEX,
+        (id_col, text_col, n),
+        df,
+        lambda: (
+            ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
+            .withColumn("sz", F.size("sh"))
+        ),
+    )
 
 
 def clear_shingle_index() -> None:
     """Unpersist and drop every memoized shingle index and pair graph
     (test/session hygiene; also the answer to the cache-entry-leak
     concern — the caches are explicit and collectively releasable)."""
-    for memo in (_SHINGLE_INDEX, _PAIR_GRAPH):
+    for memo in (_SHINGLE_INDEX, _PAIR_GRAPH, _ORDERED_INDEX, _SIG_MEMO):
         for cached in memo.values():
             try:
-                cached.unpersist()
+                # blocking: an async drop races with a re-persist of the
+                # SAME plan (the bench's clear-then-rebuild pattern) in
+                # the cache manager — measured 0.5–12.5 s swings on an
+                # otherwise-stable 0.5 s index build; blocking removal
+                # is deterministic.
+                cached.unpersist(blocking=True)
             except Exception:
                 pass
         memo.clear()
@@ -167,17 +215,34 @@ def _prefix_tokens(sh: DataFrame, threshold: float, prefix_order: str) -> DataFr
         return sh.select("id", "sz", F.posexplode(F.slice("sh", 1, prefix_len)).alias("p", "s"))
     if prefix_order != "df":
         raise ValueError(f"prefix_order must be 'df' or 'hash', got {prefix_order!r}")
-    toks = sh.select("id", "sz", F.explode("sh").alias("s"))
-    freq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("freq"))
-    ordered = (
-        toks.join(freq, "s")
-        .groupBy("id", "sz")
-        # array_sort on struct compares fields in order → (freq, s)
-        # ascending = rarest-first with a deterministic hash tiebreak.
-        .agg(F.array_sort(F.collect_list(F.struct("freq", "s"))).alias("os"))
-        .withColumn("osh", F.transform("os", lambda x: x["s"]))
+    return ordered_shingle_index(sh).select(
+        "id", "sz", F.posexplode(F.slice("osh", 1, prefix_len)).alias("p", "s")
     )
-    return ordered.select("id", "sz", F.posexplode(F.slice("osh", 1, prefix_len)).alias("p", "s"))
+
+
+def ordered_shingle_index(sh: DataFrame) -> DataFrame:
+    """Document-frequency-ordered shingle arrays ``(id, sz, osh)`` for a
+    shingle index ``sh`` — the df-order artifact of the PPJoin prefix
+    filter. The ordering is THRESHOLD-INDEPENDENT (the threshold only
+    decides how much of ``osh`` gets sliced into the prefix), so it is
+    memoized and persisted alongside the shingle index: every prefix
+    operator over the same corpus (Jaccard t=0.8, containment t=0.6, …)
+    shares one corpus-wide frequency pass. At 100 TB this is the second
+    index artifact you materialize once per corpus."""
+
+    def build() -> DataFrame:
+        toks = sh.select("id", "sz", F.explode("sh").alias("s"))
+        freq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("freq"))
+        return (
+            toks.join(freq, "s")
+            .groupBy("id", "sz")
+            # array_sort on struct compares fields in order → (freq, s)
+            # ascending = rarest-first with a deterministic hash tiebreak.
+            .agg(F.array_sort(F.collect_list(F.struct("freq", "s"))).alias("os"))
+            .select("id", "sz", F.transform("os", lambda x: x["s"]).alias("osh"))
+        )
+
+    return _memo_persist(_ORDERED_INDEX, ("ordered",), sh, build)
 
 
 def _verify_pairs_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -253,21 +318,14 @@ def ngram_jaccard_pairs(
     # components all consume the same (id_a, id_b, jaccard) set, and
     # its size is O(near-dup pairs) — tiny next to the corpus. Keyed
     # like the shingle index plus (threshold, prefix_order).
-    try:
-        key = (
-            id(df.sparkSession), df.semanticHash(), df.schema.simpleString(),
-            id_col, text_col, n,
-            round(threshold * 1_000_000), prefix_order,
-        )
-    except Exception:
-        key = None
-    if key is not None and key in _PAIR_GRAPH:
-        return _PAIR_GRAPH[key]
-    cands = _candidate_pairs(sh, threshold, prefix_order)
-    out = _verify_pairs_jaccard(cands, sh, threshold).persist(StorageLevel.MEMORY_AND_DISK)
-    if key is not None:
-        _PAIR_GRAPH[key] = out
-    return out
+    return _memo_persist(
+        _PAIR_GRAPH,
+        (id_col, text_col, n, round(threshold * 1_000_000), prefix_order),
+        df,
+        lambda: _verify_pairs_jaccard(
+            _candidate_pairs(sh, threshold, prefix_order), sh, threshold
+        ),
+    )
 
 
 def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> DataFrame:
@@ -346,19 +404,28 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     (exact value for every emitted pair).
     """
-    # Pre-filter on the cheap token count (equivalent to size(sh) > 0:
-    # shingles are empty iff tokens < n). Filtering on size(sh) itself
-    # would be pushed below the repartition and re-evaluate the full
-    # shingle expression serially on the raw input partitioning.
-    # Without it, empty docs would share one all-null band key and
+    # Shared persisted int64 shingle index (same artifact as the exact
+    # Jaccard join and containment — ONE corpus-wide shingle scan per
+    # session, dropped by clear_shingle_index). Minhashing the int64
+    # shingle hashes is an equally valid permutation family (each
+    # xxhash64(seed+i, ·) is an independent pseudo-permutation of the
+    # already-hashed universe). Docs with empty shingle sets are
+    # filtered AFTER the persisted index (a cheap filter over cached
+    # data) — without it they would share one all-null band key and
     # candidate-pair quadratically among themselves.
-    sh = (
-        ensure_parallelism(df.filter(F.size(tokens(text_col)) >= n))
-        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .withColumn("sz", F.size("sh"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_index(df, id_col, text_col, n).filter(F.col("sz") > 0)
+
+    def _hash_with_seed(seed_i: int):
+        # MUST be a one-parameter lambda: pyspark passes (element,
+        # array_index) to two-parameter higher-order-function lambdas,
+        # so the `lambda s, i=i:` closure idiom would silently hash the
+        # POSITION into each minhash (a positional hash, not a set
+        # hash — near-zero agreement on sorted arrays).
+        lit = F.lit(seed_i)
+        return lambda s: F.xxhash64(lit, s)
+
     minhashes = [
-        F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(seed + i), s)))
+        F.array_min(F.transform("sh", _hash_with_seed(seed + i)))
         for i in range(n_bands * rows_per_band)
     ]
     band_keys = [
@@ -399,9 +466,14 @@ def simhash_signatures(
     coarse on small-vocabulary corpora — every doc shares most words);
     each shingle hashes with xxhash64, and bit j of the signature is
     the sign of Σ_shingles (2·bit_j(hash) − 1). Emitted as 4 × 16-bit
-    bands (ints) for LSH banding."""
-    toks = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("t"))
-    h = F.xxhash64("t")
+    bands (ints) for LSH banding.
+
+    Reads the shared persisted shingle index: its int64 values ARE
+    xxhash64(shingle string), so exploding the cached arrays gives
+    bit-identical signatures to hashing raw string shingles — without
+    a second corpus-wide shingle scan."""
+    toks = shingle_index(df, id_col, text_col, n).select("id", F.explode("sh").alias("t"))
+    h = F.col("t")
     bit_sums = [
         F.sum(F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(_SIMHASH_BITS)
@@ -427,7 +499,12 @@ def simhash_pairs(
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
-    sig = simhash_signatures(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _memo_persist(
+        _SIG_MEMO,
+        ("simhash", id_col, text_col, n),
+        df,
+        lambda: simhash_signatures(df, id_col, text_col, n),
+    )
     n_bands = _SIMHASH_BITS // _BAND_BITS
     # Long format (id, band_idx, band_value, full signature): ONE
     # self-join on (band_idx, band_value) replaces n_bands separate
@@ -554,8 +631,13 @@ def connected_components(
 def _ls_ss_fixpoint(e: DataFrame, max_iterations: int) -> DataFrame:
     """Alternate large-star/small-star on canonically-oriented edges
     until the edge set stabilizes; returns the star set (child → component
-    min)."""
+    min). Raises if the signature has not stabilized within
+    ``max_iterations`` — a silently non-converged star set would hand
+    the caller multiple/non-minimal labels per vertex with no signal
+    (LS/SS converges in O(log² n) rounds, so 25 covers any realistic
+    graph; hitting the cap means something is genuinely wrong)."""
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         # --- large-star: symmetric view; attach bigger neighbors to m(u)
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -589,6 +671,13 @@ def _ls_ss_fixpoint(e: DataFrame, max_iterations: int) -> DataFrame:
         ).collect()[0]
         e = ss
         if prev_sig == (sig.n, sig.h):
+            converged = True
             break
         prev_sig = (sig.n, sig.h)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: large-star/small-star did not reach a "
+            f"fixpoint in {max_iterations} iterations (edge signature still "
+            f"changing) — labels would be unreliable; raise max_iterations"
+        )
     return e

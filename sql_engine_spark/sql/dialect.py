@@ -45,29 +45,34 @@ def glob_to_regex(pattern: str) -> str:
 
 
 def _split_on_strings(q: str) -> list[tuple[bool, str]]:
-    """Split into (is_string_literal, chunk) segments so rewrites skip
-    quoted text. Handles '' escapes inside literals."""
+    """Split into (is_quoted, chunk) segments so rewrites skip quoted
+    text: ``'...'`` string literals, ``"..."`` strings (SQLite treats
+    double quotes as strings-or-identifiers; either way opaque), and
+    backtick-quoted identifiers — an identifier containing ``@``,
+    ``$``, ``?`` or ``==`` must never be rewritten into a bind marker
+    or operator. Doubled-quote escapes ('' "" ``````) are handled."""
     parts: list[tuple[bool, str]] = []
-    buf, i, in_str = [], 0, False
+    buf: list[str] = []
+    i, quote = 0, ""
     while i < len(q):
         ch = q[i]
-        if not in_str and ch == "'":
+        if not quote and ch in ("'", '"', "`"):
             parts.append((False, "".join(buf)))
             buf = [ch]
-            in_str = True
-        elif in_str and ch == "'":
-            if i + 1 < len(q) and q[i + 1] == "'":
-                buf.append("''")
+            quote = ch
+        elif quote and ch == quote:
+            if i + 1 < len(q) and q[i + 1] == quote:
+                buf.append(quote * 2)
                 i += 1
             else:
                 buf.append(ch)
                 parts.append((True, "".join(buf)))
                 buf = []
-                in_str = False
+                quote = ""
         else:
             buf.append(ch)
         i += 1
-    parts.append((in_str, "".join(buf)))
+    parts.append((bool(quote), "".join(buf)))
     return parts
 
 
@@ -130,8 +135,8 @@ def normalize_query(q: str) -> str:
                 glob_pending = True
             out.append(t)
         else:
-            if glob_pending:
-                pat = t[1:-1].replace("''", "'")
+            if glob_pending and t[:1] in ("'", '"'):
+                pat = t[1:-1].replace(t[0] * 2, t[0])
                 rx = glob_to_regex(pat).replace("'", "''")
                 out.append(f"'{rx}'")
                 glob_pending = False

@@ -26,17 +26,37 @@ from pyspark.sql import functions as F
 
 from sql_engine_spark.functions.money import cents, from_cents
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+EVENTS_SCHEMA_TS = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Sniff the parquet footer: TIMESTAMP(NANOS) needs the
+    read-as-long + exact-divide workaround; TIMESTAMP(MICROS) reads
+    natively. One footer read at stream start — the schema-bootstrap
+    step any production file-source stream does once (file sources
+    cannot infer schema mid-stream)."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).schema_arrow.field("ts").type
+        return str(t) == "timestamp[ns]"
+    except Exception:
+        return False
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. File sources need an
     explicit schema (no inference mid-stream); new files arriving in the
-    directory would be picked up incrementally in production. ``ts`` is
-    stored as TIMESTAMP(NANOS) → read as long nanos (see session.py)
-    and converted to a µs timestamp with exact integer division."""
+    directory would be picked up incrementally in production. A ``ts``
+    stored as TIMESTAMP(NANOS) (which Spark's reader rejects as a
+    timestamp) is read as long nanos (see session.py) and converted to
+    a µs timestamp with exact integer division; TIMESTAMP(MICROS)
+    corpora read directly."""
     # Same stock-conf right-sizing as catalog.load_table: a vanilla
     # session that starts with a STREAMING query would otherwise run
     # every stateful operator with 200 state-store partitions — pure
@@ -47,13 +67,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             str(max(2, spark.sparkContext.defaultParallelism)),
         )
+    nanos = _events_ts_is_nanos(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_TS)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_window_agg(

@@ -340,3 +340,36 @@ def test_bench_contract_line_is_compact(tmp_path, capsys, monkeypatch):
     assert out_lines[-1] == line
     # sidecar holds the detail verbatim.
     assert json.loads(detail_file.read_text())["recall"] == {"x": 1}
+
+
+def test_rows_only_harness_action_is_noop_write():
+    """Rows-only entries (no oracle) must pay their full projection:
+    the harness action is a noop-format write, never count() — count()
+    lets Spark prune every output expression, so a rows-only check
+    would neither time nor even execute the operator's expressions
+    (VERDICT r2 item 5). Pins both driver_sim and bench."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sim = (root / "tools" / "driver_sim.py").read_text()
+    assert 'format("noop")' in sim
+    assert "count() >= 0" not in sim
+    bench_src = (root / "bench.py").read_text()
+    assert 'format("noop")' in bench_src
+
+
+def test_prefix_order_default_is_df():
+    """Every public near-dup entry point must DEFAULT to the
+    document-frequency ('df') prefix order — the hot-shingle skew
+    defence. 'hash' stays available as the documented one-pass
+    option, but a refactor must not silently flip the default
+    (VERDICT r2 item 9)."""
+    import inspect
+
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators import pipeline as P
+
+    assert inspect.signature(D.ngram_jaccard_pairs).parameters["prefix_order"].default == "df"
+    # containment hardcodes the order: pin the call site.
+    src = inspect.getsource(P._containment_candidates)
+    assert '"df"' in src

@@ -196,3 +196,31 @@ def test_coin_hash_has_no_overflow_cliff_at_huge_ids(spark):
     want = {i for i in big if ((i % (1 << 20)) * MIX_HASH_K) % (1 << 20) * 1_000_000 < 500_000 * (1 << 20)}
     assert kept == want
     assert assign_splits(df).count() == 6  # no ArithmeticException
+
+
+def test_wave3_sql_text_front_door(spark, sf_dir):
+    """VERDICT r2 item 7: the wave-3 grammar surface must be reachable
+    through the engine's real interface — a SQL STRING through the
+    dialect shim (run_sql) against registered views — not only through
+    template-parameterized spark.sql calls. g47 (quantified ALL/ANY) is
+    the documented exception: Spark's parser has no production for it,
+    so it stays a DataFrame rewrite."""
+    from sql_engine_spark.catalog import register_views
+    from sql_engine_spark.matrix import QUERIES
+    from sql_engine_spark.matrix import wave3 as W
+    from sql_engine_spark.sql import run_sql
+
+    register_views(spark, sf_dir)
+    cases = {
+        "g45_recursive_cte": W._G45_SPARK.format(orders="orders"),
+        "g46_full_outer": W._G46_SPARK.format(customer="customer", supplier="supplier"),
+        "g48_semi_anti_join": W._G48_SPARK.format(customer="customer", orders="orders"),
+        "g49_grouping_id": W._G49_SPARK.format(orders="orders"),
+        "g50_rank_family": W._G50_SPARK.format(customer="customer"),
+    }
+    for name, sql_text in cases.items():
+        front = run_sql(spark, sql_text + ";")  # trailing ; exercises the shim
+        expected = QUERIES[name](spark, sf_dir)
+        got = sorted(map(tuple, front.collect()), key=repr)
+        want = sorted(map(tuple, expected.collect()), key=repr)
+        assert got == want, f"{name}: front-door SQL text diverges from matrix entry"
