@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "x41_domain_mix",
     "x43_bigram_rarity",
     "x46_source_cap",
+    "x48_multi_query_topk",
+    "x51_span_dups",
     "s01_stream_tumbling",
 ]
 
@@ -130,7 +132,136 @@ def _ann_recall(spark, sf_dir: str) -> dict:
             "recall_at_10": rec(S.ivf_topk(emb, qv, k=10, exclude_id=0, n_probe=p)),
             "probe_frac": round(p / 16, 3),
         }
+    out["planted"] = _planted_recall(spark, emb, qv)
     return out
+
+
+def _planted_recall(spark, emb, qv: list) -> dict:
+    """Recall on a corpus WITH true near-neighbor structure: 10 planted
+    neighbors of the query at exact cosine 0.97 (orthogonal
+    decomposition, seeded) unioned into the corpus. On the isotropic
+    base corpus the true top-10 sit at cos≈0.3 and banding recall is
+    structurally capped (BASELINE.md note); with planted dups — the
+    actual near-dup-mining regime — the same banding must reach ≥0.9
+    recall at a small scan fraction."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.operators import similarity as S
+
+    q = np.asarray(qv, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(10):
+        g = rng.standard_normal(len(q))
+        u = g - (g @ q) * q
+        u = u / np.linalg.norm(u)
+        v = 0.97 * q + np.sqrt(1.0 - 0.97**2) * u
+        rows.append((-(i + 1), [float(x) for x in v]))
+    planted_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    union = emb.select("vec_id", "embedding").unionByName(planted_df)
+    n_total = union.count()
+    truth = {r.vec_id for r in S.cosine_topk(union, qv, k=10, exclude_id=0).collect()}
+
+    banded = S.with_srp_bands(union, len(qv))
+    qb = S._query_bands(qv, S.ANN_PLANES, S.ANN_BANDS, S.ANN_SEED)
+    bits = S.ANN_PLANES // S.ANN_BANDS
+    out = {}
+    for h in (0, 1):
+        cond = None
+        for b, val in enumerate(qb):
+            allowed = [v for v in range(1 << bits) if bin(v ^ val).count("1") <= h]
+            c = F.col(f"band{b}").isin(allowed)
+            cond = c if cond is None else (cond | c)
+        got = {
+            r.vec_id
+            for r in S.ann_topk(union, qv, k=10, exclude_id=0, probe_hamming=h).collect()
+        }
+        out[f"srp_h{h}"] = {
+            "recall_at_10": round(len(got & truth) / max(1, len(truth)), 3),
+            "scan_frac": round(banded.filter(cond).count() / n_total, 3),
+        }
+    got_ivf = {r.vec_id for r in S.ivf_topk(union, qv, k=10, exclude_id=0, n_probe=4).collect()}
+    out["ivf_p4"] = {
+        "recall_at_10": round(len(got_ivf & truth) / max(1, len(truth)), 3),
+        "probe_frac": 0.25,
+    }
+    return out
+
+
+def _scale_probe(spark, sf_dir: str) -> dict:
+    """Dedup-family growth curve (VERDICT r2 item 8): the corpus tops
+    out at sf0.1, so synthesize 1× and 5× replications locally and
+    time the four dedup pipelines on each. Every token of replica k>0
+    gets a ``k`` suffix, so replicas are mutually NON-duplicate: dup
+    DENSITY stays constant while volume grows 5× — the regime where a
+    banded/prefix-filtered path must grow near-linearly and a
+    candidate-quadratic one blows up. Reported time is min-of-2 (noise
+    floor); ``growth`` is the x5/x1 ratio per op."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="sql_engine_scale_probe_")
+
+    def replicate(n: int, path: str) -> None:
+        reps = [
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 100_000_000)).alias("doc_id"),
+                (
+                    F.regexp_replace("text", r"(\S+)", f"$1{k}") if k else F.col("text")
+                ).alias("text"),
+            )
+            for k in range(n)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(path)
+
+    noop = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+    ops = {
+        "x02_jaccard": lambda df: noop(D.ngram_jaccard_pairs(df)),
+        "x04_minhash": lambda df: noop(D.minhash_lsh_pairs(df)),
+        "x38_containment": lambda df: noop(P.containment_pairs(df, threshold=0.6)),
+        # includes pair generation — the full dedup→canonicalize pipeline
+        "x20_components": lambda df: noop(
+            D.connected_components(D.ngram_jaccard_pairs(df), df)
+        ),
+    }
+
+    probe: dict = {}
+    try:
+        for scale, n in (("x1", 1), ("x5", 5)):
+            path = os.path.join(base, scale)
+            replicate(n, path)
+            df = spark.read.parquet(path)
+            block = {}
+            for name, op in ops.items():
+                runs = []
+                for _ in range(2):
+                    from sql_engine_spark.operators.dedup import clear_shingle_index
+
+                    clear_shingle_index()
+                    t0 = time.perf_counter()
+                    op(df)
+                    runs.append(time.perf_counter() - t0)
+                block[name] = round(min(runs), 3)
+                print(f"# scale_probe {scale} {name}: {block[name]}s", file=sys.stderr)
+            probe[scale] = block
+        probe["growth_x5_over_x1"] = {
+            name: round(probe["x5"][name] / max(probe["x1"][name], 1e-9), 2) for name in ops
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return probe
 
 
 def main() -> None:
@@ -165,6 +296,13 @@ def main() -> None:
     recall = _ann_recall(spark, sf_dir)
     print(f"# recall@10: {recall}", file=sys.stderr)
 
+    # Dedup growth curve at 5× data (skippable for quick local runs).
+    scale_probe = (
+        _scale_probe(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
+        else {}
+    )
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val: float | str = float(sf)
@@ -177,6 +315,7 @@ def main() -> None:
         "spread": spread,
         "warmup": warmup,
         "recall": recall,
+        "scale_probe": scale_probe,
     }
     emit(timings, sf_val, detail)
 

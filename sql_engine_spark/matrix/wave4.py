@@ -1,0 +1,150 @@
+"""Round-3 wave 4: batched retrieval + embedding-space labeling over
+``embeddings`` (x48, x49 — first use of the ``label`` column) and two
+more curation signals over ``documents`` (x50 corpus-derived stopwords,
+x51 verbatim span duplication).
+
+Same exactness rules as core/ext/pipe/wave3: identical left-to-right
+float folds on both engines (Spark ``F.aggregate`` vs DuckDB
+``list_reduce``), counts/ranks cast BIGINT on both sides, ties broken
+on unique integer ids, one final double division, identical aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.matrix import query
+from sql_engine_spark.matrix.ext import _dot
+
+_SCORED_CTE = f"""
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+s AS (
+  SELECT qid, vec_id, {_dot('ev', 'qv')} AS dp,
+         {_dot('ev', 'ev')} AS na, {_dot('qv', 'qv')} AS nb
+  FROM e, q WHERE vec_id <> qid
+),
+c AS (
+  SELECT qid, vec_id,
+         CASE WHEN sqrt(na)*sqrt(nb) <> 0.0 THEN dp/(sqrt(na)*sqrt(nb)) END AS cosine_sim
+  FROM s
+),
+r AS (
+  SELECT qid, vec_id, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine_sim DESC NULLS LAST, vec_id ASC) AS BIGINT) AS rnk
+  FROM c
+)
+"""
+
+
+@query(
+    "x48_multi_query_topk",
+    oracle=f"""
+    WITH {_SCORED_CTE}
+    SELECT qid, vec_id, cosine_sim, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def x48_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact retrieval (operators/similarity.multi_query_topk):
+    cosine top-10 for every query in the ``vec_id % 50 == 0`` query set
+    in ONE corpus scan — broadcast query set, per-side norms computed
+    once, only narrow (qid, id, score) triples shuffle for the
+    per-query window top-k."""
+    from sql_engine_spark.operators.similarity import multi_query_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return multi_query_topk(emb, k=10)
+
+
+@query(
+    "x49_knn_classify",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    v AS (
+      SELECT r.qid, CAST(emb.label AS BIGINT) AS nl, COUNT(*) AS votes
+      FROM r JOIN embeddings emb ON emb.vec_id = r.vec_id
+      WHERE r.rnk <= 10 GROUP BY r.qid, emb.label
+    ),
+    p AS (
+      SELECT qid, nl, CAST(votes AS BIGINT) AS votes,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nl ASC) AS rr
+      FROM v
+    )
+    SELECT p.qid, CAST(t.label AS BIGINT) AS true_label,
+           p.nl AS pred_label, p.votes
+    FROM p JOIN embeddings t ON t.vec_id = p.qid
+    WHERE p.rr = 1
+    """,
+)
+def x49_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (operators/similarity.knn_classify):
+    majority label of the 10 exact nearest neighbors per query (ties →
+    smallest label) next to the true label — the embedding-space
+    labeling-consistency check / pseudo-labeling building block. First
+    matrix use of ``embeddings.label``."""
+    from sql_engine_spark.operators.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify(emb, k=10)
+
+
+@query(
+    "x50_stopword_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS dfc FROM toks GROUP BY t),
+    stop AS (SELECT t FROM dfreq ORDER BY dfc DESC, t ASC LIMIT 20),
+    per AS (
+      SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN stop.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+      FROM toks LEFT JOIN stop ON toks.t = stop.t
+      GROUP BY toks.doc_id
+    )
+    SELECT doc_id, n_tokens, n_stop,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS stop_ratio
+    FROM per
+    """,
+)
+def x50_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived stopword list (top-20 by document frequency,
+    lexicographic ties) + per-document stopword ratio
+    (operators/text.stopword_stats) — the language-agnostic quality
+    signal computed when no hand list fits the corpus."""
+    from sql_engine_spark.operators.text import stopword_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stopword_stats(docs, top_n=20)
+
+
+@query(
+    "x51_span_dups",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 8
+                  THEN list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] for i in range(1, len(w)-6)])
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM tok
+    ),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+    FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def x51_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim span duplication (operators/pipeline.span_dup_pairs):
+    doc pairs sharing ≥1 identical 8-token run, with the exact count of
+    distinct shared spans — the scalable analogue of exact-substring
+    dedup (suffix-array method of Lee et al., ACL 2022), reusing the
+    persisted shingle index at n=8."""
+    from sql_engine_spark.operators.pipeline import span_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dup_pairs(docs, window=8)

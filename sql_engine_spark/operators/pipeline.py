@@ -591,3 +591,41 @@ def token_budget_subset(
         .drop("__cum")
         .withColumnRenamed("__n_tokens", "n_tokens")
     )
+
+
+def span_dup_pairs(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verbatim span duplication: document pairs sharing at least one
+    identical run of ``window`` consecutive tokens, with the count of
+    distinct shared spans — the scalable Spark-native analogue of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022, which uses a suffix
+    array): a shared ≥window-token span is exactly a shared rolling
+    window hash.
+
+    Reuses the persisted shingle index at n=window (rolling windows ARE
+    word shingles), so the corpus scan is shared with any other
+    operator shingling at the same width. Candidates come from the
+    inverted-index self-join on the int64 span hash; the count per pair
+    is exact (per-doc spans are distinct). At 100 TB, cap span document
+    frequency first (a span in thousands of docs is boilerplate, which
+    a curation pipeline REMOVES rather than counts — and the cap kills
+    the m²/2 hot-key blowup); here the corpus is boilerplate-free and
+    the exact count is oracle-checked.
+
+    Output: (id_a, id_b, n_shared_spans), id_a < id_b.
+    """
+    sh = D.shingle_index(df, id_col, text_col, n=window)
+    inv = sh.select(F.col("id"), F.explode("sh").alias("g"))
+    a = inv.select(F.col("id").alias("id_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), "g")
+    return (
+        a.join(b, ["g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )

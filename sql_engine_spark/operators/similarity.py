@@ -322,3 +322,97 @@ def embedding_dup_pairs(
     denom = F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
     sim = F.when(denom != F.lit(0.0), _dot(to_double_array(F.col("va")), to_double_array(F.col("vb"))) / denom)
     return joined.select("id_a", "id_b", sim.alias("cosine_sim")).filter(F.col("cosine_sim") >= threshold)
+
+
+def multi_query_topk(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+) -> DataFrame:
+    """Batched exact retrieval: cosine top-k for EVERY query in a query
+    set (here ``id % query_mod == 0``) in ONE corpus scan — the bulk
+    evaluation/retrieval shape (score a whole eval set at once), vs
+    :func:`cosine_topk`'s single literal query.
+
+    Plan: the query set is broadcast (it is the small side by
+    construction); each corpus row scores against all queries in the
+    scan stage with per-side norms computed ONCE per row/query (not
+    per pair); only the narrow (qid, id, score) triples shuffle — on
+    ``qid`` — for the per-query ``row_number`` top-k. At 100 TB the
+    shuffle is |Q|·N·~24 bytes of triples, never vectors; for very
+    small |Q| (poor reducer parallelism) pre-prune per partition or
+    salt qid — documented, not needed at these sizes.
+
+    Output: (qid, vec_id, cosine_sim, rnk), rnk ≤ k.
+    """
+    from pyspark.sql.window import Window
+
+    from sql_engine_spark.functions.vector import dot as _dot
+
+    vd = to_double_array(vec_col)
+    q = df.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("qid"),
+        vd.alias("qv"),
+        _dot(vd, vd).alias("nb"),
+    )
+    e = df.select(F.col(id_col), vd.alias("ev"), _dot(vd, vd).alias("na"))
+    scored = (
+        e.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+        .withColumn("dp", _dot(F.col("ev"), F.col("qv")))
+        .withColumn(
+            "cosine_sim",
+            F.when(
+                F.sqrt("na") * F.sqrt("nb") != F.lit(0.0),
+                F.col("dp") / (F.sqrt("na") * F.sqrt("nb")),
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col, "cosine_sim", "rnk")
+    )
+
+
+def knn_classify(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_mod: int = 50,
+) -> DataFrame:
+    """k-NN label prediction for a query set: majority label of the k
+    exact nearest neighbors (ties → smallest label), alongside the true
+    label — the standard embedding-space sanity check (is the labeling
+    locally consistent?) and a building block for pseudo-labeling
+    pipelines.
+
+    Built on :func:`multi_query_topk`'s one-scan batched scoring; the
+    extra work is two tiny aggregations over |Q|·k triples. Output:
+    (qid, true_label, pred_label, votes).
+    """
+    from pyspark.sql.window import Window
+
+    top = multi_query_topk(df, k, id_col, vec_col, query_mod)
+    lab = df.select(F.col(id_col), F.col(label_col).cast("long").alias("__nl"))
+    votes = (
+        top.join(lab, id_col)
+        .groupBy("qid", "__nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("__nl").asc())
+    pred = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("qid", F.col("__nl").alias("pred_label"), "votes")
+    )
+    truth = df.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("qid"), F.col(label_col).cast("long").alias("true_label")
+    )
+    return truth.join(pred, "qid").select("qid", "true_label", "pred_label", "votes")

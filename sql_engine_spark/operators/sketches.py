@@ -42,46 +42,52 @@ def profile_table(
     Quantiles are null for categoricals; top_value/top_count null for
     numerics (heavy hitters on high-cardinality numerics are rarely
     meaningful and would bloat reducer state)."""
-    all_cols = list(numeric_cols) + list(categorical_cols)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in all_cols:
-        aggs.append(F.approx_count_distinct(c).alias(f"__ad_{c}"))
-    for c in numeric_cols:
-        aggs.append(
-            F.percentile_approx(c, [0.5, 0.95], QUANTILE_ACCURACY).alias(f"__pq_{c}")
-        )
-    one = df.agg(*aggs)
-
-    # Pivot the single aggregate row to one row per column with ONE
-    # explode — per-column union branches would re-execute the whole
-    # aggregate (and re-scan the table) once per column unless
-    # ReuseExchange happened to dedupe them.
-    entries = []
-    for c in all_cols:
-        p50 = F.col(f"__pq_{c}")[0].cast("double") if c in numeric_cols else F.lit(None).cast("double")
-        p95 = F.col(f"__pq_{c}")[1].cast("double") if c in numeric_cols else F.lit(None).cast("double")
-        entries.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col("__n").alias("n_rows"),
-                F.col(f"__ad_{c}").alias("approx_distinct"),
-                p50.alias("p50"),
-                p95.alias("p95"),
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("profile_table: no columns to profile")
+    profile = None
+    if numeric_cols:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in numeric_cols:
+            aggs.append(F.approx_count_distinct(c).alias(f"__ad_{c}"))
+            aggs.append(
+                F.percentile_approx(c, [0.5, 0.95], QUANTILE_ACCURACY).alias(f"__pq_{c}")
             )
+        one = df.agg(*aggs)
+
+        # Pivot the single aggregate row to one row per numeric column
+        # with ONE explode — per-column union branches would re-execute
+        # the whole aggregate (and re-scan the table) once per column
+        # unless ReuseExchange happened to dedupe them.
+        entries = []
+        for c in numeric_cols:
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__ad_{c}").alias("approx_distinct"),
+                    F.col(f"__pq_{c}")[0].cast("double").alias("p50"),
+                    F.col(f"__pq_{c}")[1].cast("double").alias("p95"),
+                )
+            )
+        profile = (
+            one.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.*")
+            .withColumn("top_value", F.lit(None).cast("string"))
+            .withColumn("top_count", F.lit(None).cast("long"))
         )
-    profile = one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
 
     if categorical_cols:
-        from pyspark.sql.window import Window
-
-        # One scan covers ALL heavy-hitter columns WITHOUT duplicating
-        # rows: group by the joint (c1, …, ck) tuple — partial
-        # aggregation collapses each partition to its distinct combos,
-        # so the shuffle carries at most min(rows, Π cardinalities)
-        # tiny rows — then explode the JOINT COUNTS (not the data) to
-        # (column, value, count) and re-aggregate for exact marginals.
-        # A melted per-row explode would push k× the rows through the
-        # scan stage; here the explode sees only the combo relation.
+        # Categorical columns never touch the sketch scan: group by the
+        # joint (c1, …, ck) tuple — partial aggregation collapses each
+        # partition to its distinct combos, so the shuffle carries at
+        # most min(rows, Π cardinalities) tiny rows — then explode the
+        # JOINT COUNTS (not the data) to (column, value, count) rows.
+        # From that combo relation, per-column distinct counts are
+        # EXACT (count of marginal rows — better than the HLL estimate
+        # the sketch scan would give), n_rows is the count sum, and the
+        # heavy hitter is a min_by over (-count, value) — no window
+        # sort, no join. A melted per-row explode would push k× the
+        # rows through the scan; here the explode sees only combos.
         # (For very-high-cardinality columns both shapes degrade the
         # same way: shuffle ~ distinct values; heavy-hitter columns by
         # definition have few.)
@@ -106,18 +112,25 @@ def profile_table(
             .groupBy("kv.column", "kv.top_value")
             .agg(F.sum("__cnt").alias("top_count"))
         )
-        # per-column top-1, ties broken by smallest value for determinism
-        w = Window.partitionBy("column").orderBy(F.desc("top_count"), F.asc("top_value"))
-        top_df = (
-            counts.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .drop("__r")
+        cat_profile = counts.groupBy("column").agg(
+            F.sum("top_count").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("approx_distinct"),  # exact
+            F.min_by(
+                "top_value",
+                F.struct((-F.col("top_count")).alias("nc"), F.col("top_value")),
+            ).alias("top_value"),
+            F.max("top_count").alias("top_count"),
         )
-        profile = profile.join(top_df, on="column", how="left")
-    else:
-        profile = profile.withColumn("top_value", F.lit(None).cast("string")).withColumn(
-            "top_count", F.lit(None).cast("long")
+        cat_rows = cat_profile.select(
+            "column",
+            "n_rows",
+            "approx_distinct",
+            F.lit(None).cast("double").alias("p50"),
+            F.lit(None).cast("double").alias("p95"),
+            "top_value",
+            "top_count",
         )
+        profile = cat_rows if profile is None else profile.unionByName(cat_rows)
     return profile
 
 

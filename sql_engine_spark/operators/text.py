@@ -179,3 +179,42 @@ def sentiment_score(
         neg.cast("long").alias("neg_hits"),
         score.cast("long").alias("sentiment"),
     )
+
+
+def stopword_stats(
+    df, top_n: int = 20, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Corpus-derived stopword list + per-document stopword ratio.
+
+    The stopword list is DATA-derived (top ``top_n`` tokens by document
+    frequency, ties broken lexicographically) — the language-agnostic
+    quality signal a curation pipeline computes when no hand list fits
+    the corpus. Two passes: (1) one token explode → df counts → top-n
+    (a tiny total order); (2) the same explode joined (broadcast — the
+    list is ``top_n`` rows by construction) → per-doc counts. Ratio is
+    the single final double division; everything before it is exact
+    integers.
+
+    Output: (doc_id, n_tokens, n_stop, stop_ratio).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    dfreq = toks.groupBy("t").agg(F.count_distinct(F.col(id_col)).alias("dfc"))
+    stop = dfreq.orderBy(F.col("dfc").desc(), F.col("t").asc()).limit(top_n).select("t")
+    flagged = toks.join(
+        F.broadcast(stop.withColumn("__is_stop", F.lit(1))), "t", "left"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.coalesce(F.sum("__is_stop"), F.lit(0)).cast("long").alias("n_stop"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_stop",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("stop_ratio"),
+    )

@@ -300,3 +300,43 @@ def test_recursive_cte_heavy_side_single_agg(spark, sf_dir):
     plan = _plan(matrix.QUERIES["g45_recursive_cte"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_multi_query_topk_broadcasts_queries(spark, sf_dir):
+    """x48: the query set must broadcast (it is the small side by
+    construction) and the corpus must be scanned exactly once for the
+    scoring join — no cartesian of corpus×corpus."""
+    df = matrix.QUERIES["x48_multi_query_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dups_is_equi_join(spark, sf_dir):
+    """x51: span pair mining must be an equi-join on the span hash
+    (inverted index), never a cartesian product, with partial
+    aggregation for the per-pair counts."""
+    df = matrix.QUERIES["x51_span_dups"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stopword_stats_broadcasts_stop_list(spark, sf_dir):
+    """x50: the 20-row stopword list must broadcast into the per-token
+    membership join (the corpus-side explode must not shuffle on the
+    token for the join)."""
+    df = matrix.QUERIES["x50_stopword_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_profile_categoricals_skip_sketch_scan(spark, sf_dir):
+    """x29: categorical distinct counts + heavy hitters derive from the
+    joint-combo relation (min_by over marginals), NOT a window sort or
+    a join back into the profile — the plan must contain no Window and
+    no SortMergeJoin."""
+    df = matrix.QUERIES["x29_sketch_profile"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

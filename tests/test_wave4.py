@@ -1,0 +1,116 @@
+"""Wave-4 operator tests: batched retrieval (x48), k-NN labeling
+(x49), corpus stopwords (x50), verbatim span dups (x51). Oracle parity
+runs in test_oracle_matrix; here are the behavioral contracts plus
+full Python recomputations on the sf0.001 corpus."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.operators.pipeline import span_dup_pairs
+from sql_engine_spark.operators.similarity import knn_classify, multi_query_topk
+from sql_engine_spark.operators.text import stopword_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_multi_query_topk_shape_and_order(emb):
+    out = multi_query_topk(emb, k=10).collect()
+    n_queries = emb.filter(F.col("vec_id") % 50 == 0).count()
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r.qid].append(r)
+    assert len(per_q) == n_queries
+    for qid, rows in per_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, 11))
+        sims = [r.cosine_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != qid for r in rows)
+
+
+def test_multi_query_topk_matches_single_query(emb):
+    """The batched searcher must agree with the single-query exact
+    searcher (cosine_topk) for a query in its set."""
+    from sql_engine_spark.operators.similarity import cosine_topk, get_vector
+
+    qv = get_vector(emb, 0)
+    single = [r.vec_id for r in cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    batched = [
+        r.vec_id
+        for r in multi_query_topk(emb, k=10)
+        .filter(F.col("qid") == 0)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert batched == single
+
+
+def test_knn_classify_votes_and_domain(emb):
+    out = knn_classify(emb, k=10).collect()
+    n_queries = emb.filter(F.col("vec_id") % 50 == 0).count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert len(out) == n_queries
+    for r in out:
+        assert 1 <= r.votes <= 10
+        assert r.pred_label in labels
+        assert r.true_label in labels
+
+
+def test_stopword_stats_matches_python(docs):
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in rows}
+    dfreq = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] += 1
+    stop = {t for t, _ in sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]}
+    got = {r.doc_id: r for r in stopword_stats(docs, top_n=20).collect()}
+    assert set(got) == set(toks)
+    for doc_id, ts in toks.items():
+        r = got[doc_id]
+        n_stop = sum(1 for t in ts if t in stop)
+        assert r.n_tokens == len(ts)
+        assert r.n_stop == n_stop, doc_id
+        assert abs(r.stop_ratio - n_stop / len(ts)) < 1e-12
+        assert 0.0 <= r.stop_ratio <= 1.0
+
+
+def test_span_dups_match_python(docs):
+    rows = docs.select("doc_id", "text").collect()
+    spans = {}
+    W = 8
+    for r in rows:
+        w = r.text.split(" ")
+        spans[r.doc_id] = {
+            " ".join(w[i : i + W]) for i in range(len(w) - W + 1)
+        } if len(w) >= W else set()
+    want = {}
+    ids = sorted(spans)
+    inv = defaultdict(set)
+    for d, ss in spans.items():
+        for s in ss:
+            inv[s].add(d)
+    for s, ds in inv.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                want[(ds[i], ds[j])] = want.get((ds[i], ds[j]), 0) + 1
+    got = {
+        (r.id_a, r.id_b): r.n_shared_spans
+        for r in span_dup_pairs(docs, window=W).collect()
+    }
+    assert got == want
+    assert all(a < b for a, b in got)
