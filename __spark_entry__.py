@@ -35,7 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered entries and none after — the iteration order of this dict
 # decides which entries get a hard correctness signal under a budgeted
 # driver run. Names missing from the list (future additions) sort
-# first of all.
+# first of all — in round 3 that is the four wave-4 entries
+# (x48–x51), followed by the 30 rotated never-checked entries below:
+# 4 + 30 + 16 previously-green rows fill the 50-entry budget, so every
+# officially-unchecked entry gets its driver row this round.
 _DRIVER_ORDER = [
     # Round-3 rotation (VERDICT r2 item #1): the 30 entries that have
     # never received an official driver row — x22–x32 and g32–g50,

@@ -184,3 +184,62 @@ def test_split_assignment_partitions_exactly(spark, ids, val_ppm, test_ppm):
         else:
             want = "train"
         assert got[i] == want
+
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_DOC_TEXTS = st.lists(
+    st.lists(_WORDS, min_size=0, max_size=20).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_DOC_TEXTS, top_n=st.integers(min_value=1, max_value=6))
+@SLOW_SPARK
+def test_stopword_stats_matches_python(spark, texts, top_n):
+    """Corpus-derived stopwords on arbitrary tiny corpora: the derived
+    list is the top-n by document frequency (lexicographic ties), and
+    per-doc counts are exact."""
+    from collections import Counter
+
+    from sql_engine_spark.operators.text import stopword_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    dfreq = Counter()
+    for t in texts:
+        for w in set(t.split(" ")):
+            dfreq[w] += 1
+    stop = {w for w, _ in sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]}
+    got = {r.doc_id: r for r in stopword_stats(df, top_n=top_n).collect()}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        assert got[i].n_tokens == len(ws)
+        assert got[i].n_stop == sum(1 for w in ws if w in stop)
+
+
+@given(texts=_DOC_TEXTS, window=st.integers(min_value=2, max_value=5))
+@SLOW_SPARK
+def test_span_dups_match_python_random(spark, texts, window):
+    """Verbatim span pairs on arbitrary tiny corpora: exact shared
+    distinct-span counts, id_a < id_b, no self-pairs."""
+    from collections import defaultdict
+
+    from sql_engine_spark.operators.pipeline import span_dup_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    inv = defaultdict(set)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        for j in range(len(ws) - window + 1):
+            inv[" ".join(ws[j : j + window])].add(i)
+    want: dict = {}
+    for ds in inv.values():
+        ds = sorted(ds)
+        for a in range(len(ds)):
+            for b in range(a + 1, len(ds)):
+                want[(ds[a], ds[b])] = want.get((ds[a], ds[b]), 0) + 1
+    got = {
+        (r.id_a, r.id_b): r.n_shared_spans
+        for r in span_dup_pairs(df, window=window).collect()
+    }
+    assert got == want
