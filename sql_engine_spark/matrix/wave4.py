@@ -148,3 +148,128 @@ def x51_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_dup_pairs(docs, window=8)
+
+
+# ---------------------------------------------------------------------
+# Wave 4b: stratified quality, cluster accounting, incremental dedup
+# ---------------------------------------------------------------------
+
+from sql_engine_spark.matrix.ext import _JACCARD_PAIRS_CTE, _STOP_LIST  # noqa: E402
+from sql_engine_spark.matrix.pipe import _SHINGLES_ALL_CTE  # noqa: E402
+
+
+@query(
+    "x52_quality_stratified",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+             least(1.0, CAST(len(w) AS DOUBLE) / 50.0) AS len_score
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, source,
+             0.5*stopword_ratio + 0.3*len_score + 0.2*distinct_ratio AS quality_score
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, source, quality_score,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY quality_score ASC, doc_id ASC) AS q_pct
+      FROM q
+    )
+    SELECT doc_id, source, quality_score, q_pct,
+           CAST(CASE WHEN q_pct >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM r
+    """,
+)
+def x52_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile normalization (operators/pipeline
+    .quality_stratified): rank quality WITHIN each source and keep the
+    top half of every source — the stratified filter that replaces a
+    global threshold (domains have different score distributions).
+    percent_rank = (rank−1)/(n−1) from int64 counters with a unique
+    (score, id) order → bit-identical doubles on both engines."""
+    from sql_engine_spark.operators.pipeline import quality_stratified
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_stratified(docs, keep_frac=0.5)
+
+
+@query(
+    "x53_dup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id),
+    tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents)
+    SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(c.doc_id) AS rep_doc,
+           CAST(SUM(tk.nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(tk.nt) - arg_min(tk.nt, c.doc_id) AS BIGINT) AS dup_tokens
+    FROM comp c JOIN tk USING (doc_id)
+    GROUP BY c.component
+    HAVING COUNT(*) >= 2
+    """,
+)
+def x53_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster accounting (operators/pipeline
+    .dup_cluster_stats): connected components over the memoized pair
+    graph → per-cluster size, representative (kept) doc, total tokens,
+    and tokens a dedup deletes — the "bytes saved" report of a
+    production dedup run. Oracle = recursive-CTE reachability (x20's)
+    + arg_min aggregation."""
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators.pipeline import dup_cluster_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return dup_cluster_stats(docs, pairs)
+
+
+@query(
+    "x54_incremental_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_ALL_CTE},
+    newd AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0 AND len(s) > 0),
+    oldd AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0 AND len(s) > 0),
+    inva AS (SELECT doc_id, unnest(s) AS g FROM newd),
+    invb AS (SELECT doc_id, unnest(s) AS g FROM oldd),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+      FROM inva a JOIN invb b ON a.g = b.g
+    ),
+    pairs AS (
+      SELECT c.id_new, c.id_old,
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jaccard
+      FROM cand c JOIN newd x ON x.doc_id = c.id_new JOIN oldd y ON y.doc_id = c.id_old
+    )
+    SELECT id_new, id_old, jaccard FROM pairs WHERE jaccard >= 0.8
+    """,
+)
+def x54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (operators/pipeline
+    .incremental_jaccard_pairs): Jaccard ≥ 0.8 pairs between the NEW
+    batch (doc_id % 10 == 0 — today's crawl) and the EXISTING corpus,
+    probing only the new docs' rarest-first prefixes into the corpus
+    inverted index — the production shape that never re-dedups the
+    whole corpus per ingest. The oracle is the plain two-sided
+    inverted-index join."""
+    from sql_engine_spark.operators.pipeline import incremental_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_jaccard_pairs(docs, threshold=0.8, new_mod=10)

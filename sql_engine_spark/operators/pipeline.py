@@ -629,3 +629,139 @@ def span_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
+
+
+def quality_stratified(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source quality percentile normalization: rank each document's
+    quality score WITHIN its source and keep the top ``keep_frac`` of
+    every source — the stratified filter that replaces one global
+    threshold (domains have different score distributions; a global
+    cut silently drops whole domains).
+
+    percent_rank over (source, quality, id) — the id tiebreak makes the
+    rank (hence the percentile and the kept set) fully deterministic.
+    One window shuffle on ``source``; for a pathologically dominant
+    single source at 100 TB, swap the exact window for an
+    approx-percentile threshold per source (two scans, no sort) — the
+    exact window is the oracle-checkable default.
+
+    Output: (doc_id, source, quality_score, q_pct, kept 0/1).
+    """
+    from pyspark.sql.window import Window
+
+    from sql_engine_spark.operators.text import quality_expr
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality_score").asc(), F.col(id_col).asc()
+    )
+    scored = df.select(
+        F.col(id_col), F.col(source_col), quality_expr(text_col).alias("quality_score")
+    )
+    return scored.withColumn("q_pct", F.percent_rank().over(w)).withColumn(
+        "kept", (F.col("q_pct") >= 1.0 - keep_frac).cast("long")
+    )
+
+
+def dup_cluster_stats(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate CLUSTER accounting: connected components over the
+    pair graph → one row per multi-document cluster with its size, the
+    representative (minimum id — the doc a dedup keeps), total token
+    count, and the tokens a dedup would delete (total − representative)
+    — the "bytes saved" report a production dedup run publishes.
+
+    Costs one CC job over the (tiny) pair graph plus one join of the
+    labels against per-doc token counts; clusters of size 1 are
+    dropped (every unique doc is its own component — noise, and at
+    corpus scale the singleton set is the corpus).
+
+    Output: (component, n_docs, rep_doc, total_tokens, dup_tokens).
+    """
+    from sql_engine_spark.operators.dedup import connected_components
+    from sql_engine_spark.operators.text import tokens
+
+    comp = connected_components(pairs, df, id_col=id_col)
+    toks = df.select(F.col(id_col), F.size(tokens(text_col)).cast("long").alias("__nt"))
+    labeled = comp.join(toks, id_col)
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("rep_doc"),
+            F.sum("__nt").alias("total_tokens"),
+            (F.sum("__nt") - F.min_by("__nt", F.col(id_col))).alias("dup_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def incremental_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    new_mod: int = 10,
+) -> DataFrame:
+    """Incremental near-dup detection: Jaccard ≥ threshold pairs between
+    a NEW batch (here ``id % new_mod == 0`` — today's crawl) and the
+    EXISTING corpus — the production shape that avoids re-deduping the
+    whole corpus per ingest. At 100 TB the existing corpus's shingle
+    index is the materialized artifact; only the new batch is shingled
+    and probed.
+
+    Exactness: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A|, so probing the NEW doc's
+    rarest-first prefix (|A| − ⌈t·|A|⌉ + 1 shingles) into the FULL
+    corpus inverted index cannot miss a qualifying pair (the
+    containment-style one-sided prefix bound); the two-sided length
+    filter t·|A| ≤ |B| ≤ |A|/t prunes size-incompatible candidates in
+    exact integer arithmetic, and survivors get the exact
+    array_intersect Jaccard.
+
+    Output: (id_new, id_old, jaccard).
+    """
+    num = round(threshold * 1_000_000)
+    sh = D.shingle_index(df, id_col, text_col, n)
+    new_pred = F.col("id") % new_mod == 0
+    prefix_len = (F.col("sz") - D._ceil_frac(F.col("sz"), threshold) + 1).cast("int")
+    pref = (
+        D.ordered_shingle_index(sh)
+        .filter(new_pred)
+        .select("id", "sz", F.explode(F.slice("osh", 1, prefix_len)).alias("s"))
+        .select(F.col("id").alias("id_new"), F.col("sz").alias("sz_new"), "s")
+    )
+    inv = (
+        sh.filter(~new_pred)
+        .select(F.col("id").alias("id_old"), F.col("sz").alias("sz_old"), F.explode("sh").alias("s"))
+    )
+    cands = (
+        pref.join(
+            inv,
+            (pref["s"] == inv["s"])
+            # length filter both ways: t·|A| ≤ |B| AND t·|B| ≤ |A|
+            & (F.col("sz_old") * 1_000_000 >= F.col("sz_new") * num)
+            & (F.col("sz_new") * 1_000_000 >= F.col("sz_old") * num),
+        )
+        .select("id_new", "id_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    a = sh.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_old"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    j = cands.join(a, "id_new").join(b, "id_old")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+    return (
+        j.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
+    )

@@ -114,3 +114,69 @@ def test_span_dups_match_python(docs):
     }
     assert got == want
     assert all(a < b for a, b in got)
+
+
+def test_quality_stratified_keeps_top_half_per_source(docs):
+    from sql_engine_spark.operators.pipeline import quality_stratified
+
+    out = quality_stratified(docs, keep_frac=0.5).collect()
+    by_src = defaultdict(list)
+    for r in out:
+        by_src[r.source].append(r)
+    for src, rows in by_src.items():
+        kept = [r for r in rows if r.kept == 1]
+        # kept set = exactly the rows with percentile >= 0.5, and it is
+        # the TOP of the quality order (min kept quality >= max dropped)
+        dropped = [r for r in rows if r.kept == 0]
+        if kept and dropped:
+            assert min(r.quality_score for r in kept) >= max(
+                r.quality_score for r in dropped
+            ) - 1e-12, src
+        assert all(0.0 <= r.q_pct <= 1.0 for r in rows)
+
+
+def test_dup_cluster_stats_consistent_with_components(spark, docs):
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators.pipeline import dup_cluster_stats
+
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    comp = {
+        r.doc_id: r.component
+        for r in D.connected_components(pairs, docs).collect()
+    }
+    toks = {r.doc_id: len(r.text.split(" ")) for r in docs.select("doc_id", "text").collect()}
+    sizes = Counter(comp.values())
+    got = {r.component: r for r in dup_cluster_stats(docs, pairs).collect()}
+    want_multi = {c for c, n in sizes.items() if n >= 2}
+    assert set(got) == want_multi
+    for c, r in got.items():
+        members = [d for d, cc in comp.items() if cc == c]
+        assert r.n_docs == len(members)
+        assert r.rep_doc == min(members)
+        assert r.total_tokens == sum(toks[d] for d in members)
+        assert r.dup_tokens == r.total_tokens - toks[min(members)]
+
+
+def test_incremental_dedup_equals_restricted_full_dedup(docs):
+    """The incremental probe must find EXACTLY the full-corpus pairs
+    that cross the new/old boundary (no recall loss from the one-sided
+    prefix)."""
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators.pipeline import incremental_jaccard_pairs
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    want = {}
+    for (a, b), j in full.items():
+        if (a % 10 == 0) != (b % 10 == 0):
+            new, old = (a, b) if a % 10 == 0 else (b, a)
+            want[(new, old)] = j
+    got = {
+        (r.id_new, r.id_old): r.jaccard
+        for r in incremental_jaccard_pairs(docs, threshold=0.8, new_mod=10).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
