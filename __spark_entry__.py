@@ -35,10 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered entries and none after — the iteration order of this dict
 # decides which entries get a hard correctness signal under a budgeted
 # driver run. Names missing from the list (future additions) sort
-# first of all — in round 3 that is the four wave-4 entries
-# (x48–x51), followed by the 30 rotated never-checked entries below:
-# 4 + 30 + 16 previously-green rows fill the 50-entry budget, so every
-# officially-unchecked entry gets its driver row this round.
+# first of all; entries already judged highest-priority are pinned
+# explicitly. Round 3: the 30 rotated never-checked entries run FIRST
+# (VERDICT r2 item #1 — their official rows close this round), then
+# the seven new wave-4 entries (x48–x54), then previously-green rows:
+# 30 + 7 + 13 fill the 50-entry budget.
 _DRIVER_ORDER = [
     # Round-3 rotation (VERDICT r2 item #1): the 30 entries that have
     # never received an official driver row — x22–x32 and g32–g50,
@@ -60,6 +61,10 @@ _DRIVER_ORDER = [
     "g42_values_inline", "g43_percentiles", "g44_ntile", "g45_recursive_cte",
     "g46_full_outer", "g47_quantified_all", "g48_semi_anti_join",
     "g49_grouping_id", "g50_rank_family",
+    # -- new in round 3 (wave 4: first driver rows this round) ----
+    "x48_multi_query_topk", "x49_knn_classify", "x50_stopword_stats",
+    "x51_span_dups", "x52_quality_stratified", "x53_dup_cluster_stats",
+    "x54_incremental_dedup",
     # -- green in CORRECTNESS_r02 --------------------------------
     "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",

@@ -97,7 +97,6 @@ def _ann_recall(spark, sf_dir: str) -> dict:
     scan fraction; on a corpus with real near-neighbor structure the
     same banding reaches it at a small fraction (see
     tests/test_dedup_similarity.py for the planted-dup case)."""
-    from pyspark.sql import functions as F
 
     from sql_engine_spark.catalog import load_table
     from sql_engine_spark.operators import similarity as S
@@ -111,18 +110,14 @@ def _ann_recall(spark, sf_dir: str) -> dict:
         got = {r.vec_id for r in df.collect()}
         return round(len(got & brute) / max(1, len(brute)), 3)
 
-    # SRP scan fractions: count rows passing the band filter.
+    # SRP scan fractions: count rows passing the SEARCHER'S OWN band
+    # filter (srp_probe_condition — a hand-rolled copy would drift).
     banded = S.with_srp_bands(emb, len(qv))
-    qb = S._query_bands(qv, S.ANN_PLANES, S.ANN_BANDS, S.ANN_SEED)
-    bits = S.ANN_PLANES // S.ANN_BANDS
     out = {}
     for h in (0, 1, 2):
-        cond = None
-        for b, val in enumerate(qb):
-            allowed = [v for v in range(1 << bits) if bin(v ^ val).count("1") <= h]
-            c = F.col(f"band{b}").isin(allowed)
-            cond = c if cond is None else (cond | c)
-        frac = round(banded.filter(cond).count() / n_total, 3)
+        frac = round(
+            banded.filter(S.srp_probe_condition(qv, h)).count() / n_total, 3
+        )
         out[f"srp_h{h}"] = {
             "recall_at_10": rec(S.ann_topk(emb, qv, k=10, exclude_id=0, probe_hamming=h)),
             "scan_frac": frac,
@@ -145,7 +140,6 @@ def _planted_recall(spark, emb, qv: list) -> dict:
     actual near-dup-mining regime — the same banding must reach ≥0.9
     recall at a small scan fraction."""
     import numpy as np
-    from pyspark.sql import functions as F
 
     from sql_engine_spark.operators import similarity as S
 
@@ -165,22 +159,17 @@ def _planted_recall(spark, emb, qv: list) -> dict:
     truth = {r.vec_id for r in S.cosine_topk(union, qv, k=10, exclude_id=0).collect()}
 
     banded = S.with_srp_bands(union, len(qv))
-    qb = S._query_bands(qv, S.ANN_PLANES, S.ANN_BANDS, S.ANN_SEED)
-    bits = S.ANN_PLANES // S.ANN_BANDS
     out = {}
     for h in (0, 1):
-        cond = None
-        for b, val in enumerate(qb):
-            allowed = [v for v in range(1 << bits) if bin(v ^ val).count("1") <= h]
-            c = F.col(f"band{b}").isin(allowed)
-            cond = c if cond is None else (cond | c)
         got = {
             r.vec_id
             for r in S.ann_topk(union, qv, k=10, exclude_id=0, probe_hamming=h).collect()
         }
         out[f"srp_h{h}"] = {
             "recall_at_10": round(len(got & truth) / max(1, len(truth)), 3),
-            "scan_frac": round(banded.filter(cond).count() / n_total, 3),
+            "scan_frac": round(
+                banded.filter(S.srp_probe_condition(qv, h)).count() / n_total, 3
+            ),
         }
     got_ivf = {r.vec_id for r in S.ivf_topk(union, qv, k=10, exclude_id=0, n_probe=4).collect()}
     out["ivf_p4"] = {

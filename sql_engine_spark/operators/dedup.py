@@ -62,16 +62,23 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     target = sc.defaultParallelism
     try:
         files = df.inputFiles()
-        few_files = len(files) < target
-        if few_files:
+    except Exception:  # non-file-backed plans: assume already parallel
+        return df
+    few_files = len(files) < target
+    if few_files:
+        # Size gate, local files only: a single LARGE splittable file
+        # needs no repartition. Remote URIs (hdfs://, s3a://) or
+        # unstatable paths keep the count-based decision — failing the
+        # size probe must not silently DISABLE the repartition.
+        try:
             total = 0
             for uri in files:
                 path = uri[len("file:"):] if uri.startswith("file:") else uri
                 total += os.path.getsize(path)
             # ≥64 MiB/core of input → plenty of row groups to split.
             few_files = total < target * 64 * 1024 * 1024
-    except Exception:  # non-file-backed plans: assume already parallel
-        few_files = False
+        except Exception:
+            pass
     if few_files:
         return df.repartition(target)
     return df
@@ -635,10 +642,15 @@ def _ls_ss_fixpoint(e: DataFrame, max_iterations: int) -> DataFrame:
     ``max_iterations`` — a silently non-converged star set would hand
     the caller multiple/non-minimal labels per vertex with no signal
     (LS/SS converges in O(log² n) rounds, so 25 covers any realistic
-    graph; hitting the cap means something is genuinely wrong)."""
+    graph; hitting the cap means something is genuinely wrong).
+
+    Runs up to ``max_iterations + 1`` passes: detection needs one
+    confirming pass after the fixpoint, so a graph converging on
+    exactly the last budgeted round still gets its confirmation
+    instead of a spurious error."""
     prev_sig = None
     converged = False
-    for _ in range(max_iterations):
+    for _ in range(max_iterations + 1):
         # --- large-star: symmetric view; attach bigger neighbors to m(u)
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))

@@ -154,16 +154,33 @@ def ann_topk(
     where single-probe recall is structurally capped. Still a pure
     scan-stage int filter; candidate count grows with
     Σ_h C(bits, h) values per band."""
+    banded = with_srp_bands(df, len(query_vec), vec_col, n_planes, n_bands, seed)
+    cands = banded.filter(
+        srp_probe_condition(query_vec, probe_hamming, n_planes, n_bands, seed)
+    )
+    return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def srp_probe_condition(
+    query_vec: list[float],
+    probe_hamming: int = 0,
+    n_planes: int = ANN_PLANES,
+    n_bands: int = ANN_BANDS,
+    seed: int = ANN_SEED,
+) -> Column:
+    """The candidate filter :func:`ann_topk` scans with: rows whose
+    SRP band columns match any query band within ``probe_hamming``
+    bits. Exposed so harnesses measuring scan fraction (bench) filter
+    with EXACTLY the searcher's condition — a hand-rolled copy would
+    silently drift if the banding changes."""
     qb = _query_bands(query_vec, n_planes, n_bands, seed)
     bits = n_planes // n_bands
-    banded = with_srp_bands(df, len(query_vec), vec_col, n_planes, n_bands, seed)
     cond = None
     for b, val in enumerate(qb):
         allowed = [v for v in range(1 << bits) if bin(v ^ val).count("1") <= probe_hamming]
         c = F.col(f"band{b}").isin(allowed) if len(allowed) > 1 else (F.col(f"band{b}") == val)
         cond = c if cond is None else (cond | c)
-    cands = banded.filter(cond)
-    return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)
+    return cond
 
 
 def ivf_topk(
@@ -406,7 +423,12 @@ def knn_classify(
         .groupBy("qid", "__nl")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("__nl").asc())
+    # nulls LAST on the label tiebreak: Spark's plain asc() sorts NULL
+    # first while the DuckDB oracle's ASC sorts NULL last — a
+    # null-label group tying for max votes would diverge.
+    w = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("__nl").asc_nulls_last()
+    )
     pred = (
         votes.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)

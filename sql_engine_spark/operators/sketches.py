@@ -112,14 +112,32 @@ def profile_table(
             .groupBy("kv.column", "kv.top_value")
             .agg(F.sum("__cnt").alias("top_count"))
         )
-        cat_profile = counts.groupBy("column").agg(
-            F.sum("top_count").alias("n_rows"),
-            F.count(F.lit(1)).cast("long").alias("approx_distinct"),  # exact
-            F.min_by(
-                "top_value",
-                F.struct((-F.col("top_count")).alias("nc"), F.col("top_value")),
-            ).alias("top_value"),
-            F.max("top_count").alias("top_count"),
+        # NULL handling matches COUNT(DISTINCT col)/mode semantics: the
+        # NULL group counts toward n_rows but is excluded from the
+        # distinct count and can never be the heavy hitter (min over a
+        # WHEN-guarded struct ignores the null-valued group).
+        best = F.min(
+            F.when(
+                F.col("top_value").isNotNull(),
+                F.struct(
+                    (-F.col("top_count")).alias("nc"), F.col("top_value").alias("v")
+                ),
+            )
+        )
+        cat_profile = (
+            counts.groupBy("column")
+            .agg(
+                F.sum("top_count").alias("n_rows"),
+                F.count("top_value").cast("long").alias("approx_distinct"),  # exact
+                best.alias("__best"),
+            )
+            .select(
+                "column",
+                "n_rows",
+                "approx_distinct",
+                F.col("__best")["v"].alias("top_value"),
+                (-F.col("__best")["nc"]).alias("top_count"),
+            )
         )
         cat_rows = cat_profile.select(
             "column",

@@ -139,7 +139,11 @@ def normalize_query(q: str) -> str:
                 pat = t[1:-1].replace(t[0] * 2, t[0])
                 rx = glob_to_regex(pat).replace("'", "''")
                 out.append(f"'{rx}'")
-                glob_pending = False
             else:
                 out.append(t)
+            # ANY quoted segment consumes the pending GLOB: a backtick
+            # identifier after GLOB must not leave the flag armed, or
+            # the next unrelated literal in the query would be
+            # silently rewritten into a regex.
+            glob_pending = False
     return "".join(out)

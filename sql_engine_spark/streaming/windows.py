@@ -44,7 +44,9 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
         import pyarrow.parquet as pq
 
         t = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).schema_arrow.field("ts").type
-        return str(t) == "timestamp[ns]"
+        # prefix match: tz-annotated nanos ("timestamp[ns, tz=UTC]")
+        # needs the same long-read workaround as plain nanos.
+        return str(t).startswith("timestamp[ns")
     except Exception:
         return False
 

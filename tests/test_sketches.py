@@ -36,7 +36,9 @@ def test_profile_quantiles_within_rank_tolerance(spark, lineitem):
     for q, key in [(0.5, "p50"), (0.95, "p95")]:
         got = prof["l_quantity"][key]
         # rank tolerance: value must sit within n/QUANTILE_ACCURACY ranks
-        tol = max(2, n // 10000 + 1)
+        from sql_engine_spark.operators.sketches import QUANTILE_ACCURACY
+
+        tol = max(2, n // QUANTILE_ACCURACY + 1)
         lo = vals[max(0, int(q * n) - tol)]
         hi = vals[min(n - 1, int(q * n) + tol)]
         assert lo <= got <= hi, (key, got, lo, hi)

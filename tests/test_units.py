@@ -373,3 +373,19 @@ def test_prefix_order_default_is_df():
     # containment hardcodes the order: pin the call site.
     src = inspect.getsource(P._containment_candidates)
     assert '"df"' in src
+
+
+def test_glob_backtick_does_not_arm_later_literal():
+    """A backtick identifier after GLOB must consume the pending-GLOB
+    state: the next unrelated string literal in the query must NOT be
+    rewritten into an anchored regex."""
+    from sql_engine_spark.sql.dialect import normalize_query
+
+    q = "SELECT * FROM t WHERE a GLOB `p` AND b == 'x*'"
+    out = normalize_query(q)
+    assert "'x*'" in out, out          # literal untouched
+    assert "^x" not in out, out        # no regex leak
+    # and identifiers containing marker characters stay opaque
+    q2 = 'SELECT `a@b` FROM t WHERE `c$d` == 1'
+    out2 = normalize_query(q2)
+    assert "`a@b`" in out2 and "`c$d`" in out2
