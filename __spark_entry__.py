@@ -64,7 +64,7 @@ _DRIVER_ORDER = [
     # -- new in round 3 (wave 4: first driver rows this round) ----
     "x48_multi_query_topk", "x49_knn_classify", "x50_stopword_stats",
     "x51_span_dups", "x52_quality_stratified", "x53_dup_cluster_stats",
-    "x54_incremental_dedup",
+    "x54_incremental_dedup", "x55_crossmodal_agreement",
     # -- green in CORRECTNESS_r02 --------------------------------
     "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",

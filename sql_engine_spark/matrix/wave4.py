@@ -273,3 +273,40 @@ def x54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return incremental_jaccard_pairs(docs, threshold=0.8, new_mod=10)
+
+
+@query(
+    "x55_crossmodal_agreement",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE},
+    lex AS (SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT vec_id, v, {_dot('v', 'v')} AS nrm FROM e),
+    pp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CASE WHEN sqrt(a.nrm)*sqrt(b.nrm) <> 0.0
+                  THEN {_dot('a.v', 'b.v')}/(sqrt(a.nrm)*sqrt(b.nrm)) END AS cosine_sim
+      FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+    ),
+    sem AS (SELECT id_a, id_b, cosine_sim FROM pp WHERE cosine_sim >= 0.4)
+    SELECT COALESCE(l.id_a, s.id_a) AS id_a, COALESCE(l.id_b, s.id_b) AS id_b,
+           l.jaccard, s.cosine_sim,
+           CASE WHEN l.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 'both'
+                WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+                ELSE 'semantic_only' END AS agreement
+    FROM lex l FULL OUTER JOIN sem s ON l.id_a = s.id_a AND l.id_b = s.id_b
+    """,
+)
+def x55_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement audit (operators/pipeline
+    .crossmodal_dup_agreement): lexical (Jaccard ≥ 0.8) vs semantic
+    (cosine ≥ 0.4) near-dup pairs full-outer joined and tagged both /
+    lexical_only / semantic_only — the check that an embedding space
+    reflects textual duplication before semantic dedup is trusted.
+    On this corpus the embeddings are text-independent and the audit
+    shows it (both ≈ 0) — which is the finding."""
+    from sql_engine_spark.operators.pipeline import crossmodal_dup_agreement
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return crossmodal_dup_agreement(docs, emb)

@@ -765,3 +765,50 @@ def incremental_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_old", "jaccard")
     )
+
+
+def crossmodal_dup_agreement(
+    docs: DataFrame,
+    emb: DataFrame,
+    j_threshold: float = 0.8,
+    c_threshold: float = 0.4,
+    use_buckets: bool = False,
+) -> DataFrame:
+    """Cross-modal near-duplicate AGREEMENT audit: full-outer join the
+    lexical near-dup pairs (n-gram Jaccard ≥ ``j_threshold``) with the
+    embedding near-dup pairs (cosine ≥ ``c_threshold``) over the
+    shared id space, tagging each pair ``both`` / ``lexical_only`` /
+    ``semantic_only`` — the sanity check that an embedding space
+    actually reflects textual duplication before semantic dedup is
+    trusted (on this synthetic corpus the embeddings are independent
+    of the text, and the audit SHOWS it: both ≈ 0).
+
+    Consumes the memoized lexical pair graph; the semantic side
+    defaults to the exact all-pairs scorer for oracle checkability
+    (``use_buckets=True`` is the banded 100 TB path, identical output
+    minus banding recall). The outer join runs over two TINY pair
+    sets, never the corpora.
+
+    Output: (id_a, id_b, jaccard?, cosine_sim?, agreement).
+    """
+    from sql_engine_spark.operators.similarity import embedding_dup_pairs
+
+    lex = D.ngram_jaccard_pairs(docs, threshold=j_threshold).select(
+        F.col("id_a").alias("la"), F.col("id_b").alias("lb"), "jaccard"
+    )
+    sem = embedding_dup_pairs(emb, threshold=c_threshold, use_buckets=use_buckets).select(
+        F.col("id_a").alias("sa"), F.col("id_b").alias("sb"), "cosine_sim"
+    )
+    j = lex.join(
+        sem, (F.col("la") == F.col("sa")) & (F.col("lb") == F.col("sb")), "full_outer"
+    )
+    return j.select(
+        F.coalesce("la", "sa").alias("id_a"),
+        F.coalesce("lb", "sb").alias("id_b"),
+        "jaccard",
+        "cosine_sim",
+        F.when(F.col("la").isNotNull() & F.col("sa").isNotNull(), F.lit("both"))
+        .when(F.col("la").isNotNull(), F.lit("lexical_only"))
+        .otherwise(F.lit("semantic_only"))
+        .alias("agreement"),
+    )

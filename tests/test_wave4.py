@@ -180,3 +180,29 @@ def test_incremental_dedup_equals_restricted_full_dedup(docs):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_crossmodal_agreement_partitions_pair_union(spark, docs, sf_dir):
+    """Tags must partition the union of the two pair sets, and each
+    side's values must round-trip (jaccard present iff lexical tag,
+    cosine present iff semantic tag)."""
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators.pipeline import crossmodal_dup_agreement
+    from sql_engine_spark.operators.similarity import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    sem = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(emb, threshold=0.4, use_buckets=False).collect()
+    }
+    out = crossmodal_dup_agreement(docs, emb).collect()
+    got = {(r.id_a, r.id_b): r for r in out}
+    assert set(got) == lex | sem
+    for k, r in got.items():
+        if k in lex and k in sem:
+            assert r.agreement == "both" and r.jaccard is not None and r.cosine_sim is not None
+        elif k in lex:
+            assert r.agreement == "lexical_only" and r.cosine_sim is None
+        else:
+            assert r.agreement == "semantic_only" and r.jaccard is None
