@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "x46_source_cap",
     "x48_multi_query_topk",
     "x51_span_dups",
+    "x54_incremental_dedup",
     "s01_stream_tumbling",
 ]
 
