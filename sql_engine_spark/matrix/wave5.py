@@ -1,0 +1,153 @@
+"""Round-3 wave 5: corpus-rewriting dedup and cluster-level curation —
+chunk-level dedup with document reconstruction (x56), leakage-free
+component-aware splits (x57), integer-exact weighted sampling (x58),
+SemDeDup semantic dedup (x59), and distributed k-means refinement
+(x60). x56–x58 carry exact DuckDB oracles; x59/x60 are iterative /
+sample-seeded (rows-only; equivalence- and recall-tested in pytest).
+
+Same exactness rules as the other waves: integer counters end-to-end,
+BIGINT casts on both engines, unique-id tiebreaks, identical aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.matrix import query
+from sql_engine_spark.matrix.ext import _JACCARD_PAIRS_CTE
+from sql_engine_spark.operators import pipeline as P
+
+
+@query(
+    "x56_chunk_dedup",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS w FROM documents),
+    ch0 AS (
+      SELECT doc_id,
+             [array_to_string(w[(i*16+1):(i*16+16)], ' ')
+              for i in range(0, GREATEST(CAST(ceil(len(w)/16.0) AS BIGINT), 1))] AS chunks
+      FROM tok
+    ),
+    ch1 AS (
+      SELECT doc_id, unnest(chunks) AS chunk,
+             generate_subscripts(chunks, 1) - 1 AS chunk_idx
+      FROM ch0
+    ),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS clean_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def x56_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup WITH document reconstruction
+    (operators/pipeline.chunk_dedup — the CCNet/RefinedWeb paragraph
+    dedup shape): 16-token chunks, keep-first in (doc_id, chunk_idx)
+    order, documents reassembled from surviving chunks. Unlike x51
+    (which reports shared spans) this emits the cleaned corpus itself;
+    scan-stage chunking, two wide shuffles (keep-first window on the
+    chunk text, per-doc rebuild)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.chunk_dedup(docs, chunk_tokens=16)
+
+
+@query(
+    "x57_component_splits",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           CASE WHEN (((component % 1048576) * {P.SPLIT_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
+                     < CAST(10000 AS BIGINT) * 1048576 THEN 'test'
+                WHEN (((component % 1048576) * {P.SPLIT_HASH_K}) % 1048576) * CAST(1000000 AS BIGINT)
+                     < CAST(20000 AS BIGINT) * 1048576 THEN 'val'
+                ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def x57_component_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (operators/pipeline
+    .component_splits): the split coin is hashed on each doc's
+    near-duplicate connected-component label, so no Jaccard-≥-0.8 pair
+    can straddle train and test — the dedup-before-split discipline a
+    per-doc coin (x45) cannot enforce. Oracle = recursive-CTE
+    reachability (x20's) + x45's integer split arithmetic on the
+    component label."""
+    from sql_engine_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return P.component_splits(docs, pairs)
+
+
+@query(
+    "x58_weighted_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, GREATEST(CAST(n_chars AS BIGINT), 1) AS weight,
+             (((doc_id % 1048576) * {P.PRIORITY_HASH_K}) % 1048576)
+               // GREATEST(CAST(n_chars AS BIGINT), 1) AS sample_key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, weight, sample_key,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY sample_key ASC, doc_id ASC) AS BIGINT) AS rnk
+      FROM s
+    )
+    SELECT doc_id, source, weight, sample_key, rnk FROM r WHERE rnk <= 20
+    """,
+)
+def x58_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling per source (operators/pipeline
+    .weighted_priority_sample): integer priority keys h // weight —
+    larger docs proportionally likelier — bottom-20 per source. No
+    float pow/log anywhere, so the sampled set is bit-reproducible
+    across engines/retries; the oracle replays the arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.weighted_priority_sample(docs, k=20)
+
+
+@query("x59_semantic_dedup")
+def x59_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup, Abbas et al.
+    2023): spherical-quantizer clusters restrict the exact cosine pair
+    search to within-cluster self-joins (O(N²/k) worst case, not
+    O(N²)); connected components pick one representative per semantic
+    cluster. Iterative CC + sample-trained centroids → rows-only;
+    n_lists=1 exactness and clustered recall are pytest-proven."""
+    from sql_engine_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_lists=8)
+
+
+@query("x60_kmeans_refine")
+def x60_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's refinement (operators/similarity
+    .kmeans_refine): 4 rounds of scan-stage assignment + map-side
+    (cluster, dim) partial means; only k·d tiny doubles ever shuffle
+    or reach the driver. Per-cluster size and tightness report.
+    Iterative → rows-only; pytest proves exact equivalence to numpy
+    Lloyd's from the same seeded init."""
+    from sql_engine_spark.operators.similarity import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine(emb, n_lists=8, iterations=4)

@@ -812,3 +812,147 @@ def crossmodal_dup_agreement(
         .otherwise(F.lit("semantic_only"))
         .alias("agreement"),
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level exact dedup WITH document reconstruction (the
+    CCNet / RefinedWeb paragraph-dedup shape, Wenzek et al. 2020): cut
+    every document into non-overlapping ``chunk_tokens``-token chunks,
+    delete every chunk occurrence whose text already appeared EARLIER
+    in corpus order (first occurrence kept — ties broken on
+    (doc_id, chunk_idx), so the kept set is deterministic), and
+    reassemble each document from its surviving chunks. Unlike
+    :func:`span_dup_pairs` (which only *reports* shared spans) this
+    produces the cleaned corpus itself.
+
+    Plan shape: chunking happens as ONE scan-stage expression on the
+    token array (``transform(sequence(...), slice(...))`` — no
+    token-level explode; the explode is per-chunk, 1/chunk_tokens of
+    the token count). Then exactly two wide shuffles, the floor for
+    exact corpus-wide chunk dedup: (1) the keep-first window
+    partitioned by chunk text — exact string grouping, NOT a 64-bit
+    hash, because at 100 TB (≈ trillions of chunks) birthday
+    collisions on int64 would silently delete unique text; (2) the
+    per-document rebuild groupBy. Both keys are near-uniform (chunk
+    texts, doc ids) so neither shuffle has a hot key; AQE handles the
+    boilerplate-chunk tail. At 100 TB this is strictly cheaper than
+    suffix-array exact-substring dedup (Lee et al. ACL 2022) and is
+    the standard industrial approximation of it.
+
+    Output: (doc_id, n_chunks, n_kept, clean_text); docs whose every
+    chunk was seen earlier come back with clean_text = ''.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(chunk_tokens) + 1, chunk_tokens), " "
+        ),
+    )
+    ch = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+    marked = ch.withColumn("__rn", F.row_number().over(w))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__rn") == 1, F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+# Third independent multiplier (OEIS A000069-unrelated odd constant,
+# coprime with 2^20) so priority sampling is statistically independent
+# of both the mixture coin (MIX_HASH_K) and the split coin
+# (SPLIT_HASH_K).
+PRIORITY_HASH_K = 2654435769
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted sampling per stratum — integer "priority
+    sampling" (Duffield/Lund/Thorup, JACM 2007 shape): each row draws
+    the deterministic pseudo-uniform ``h = coin_hash(id)`` and gets
+    priority key ``h // weight`` — larger weight → proportionally
+    smaller key → more likely in the per-stratum bottom-k. Pure
+    integer arithmetic end-to-end (no float pow/log as in
+    Efraimidis–Spirakis), so the sampled set is bit-reproducible
+    across engines, partitionings, and retries — the property a
+    training-mix sampler actually needs.
+
+    One window shuffle on the stratum; the candidate set never leaves
+    the executors. At 100 TB swap row_number for a per-stratum
+    approximate k-th-key threshold (two scans) if a single stratum
+    dominates; the exact window is the oracle-checkable default.
+
+    Output: (doc_id, stratum, weight, sample_key, rnk), rnk ≤ k.
+    """
+    h = _coin_hash(id_col, PRIORITY_HASH_K)
+    wt = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    key = F.floor(h / wt).cast("long")
+    win = Window.partitionBy(stratum_col).orderBy(
+        F.col("sample_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            wt.alias("weight"),
+            key.alias("sample_key"),
+        )
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def component_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/val/test split: assign the split by the
+    deterministic coin hash of each document's near-duplicate
+    CONNECTED COMPONENT label (min reachable id), not of the document
+    itself — so a near-dup pair can never straddle train and test
+    (the contamination mode :func:`assign_splits` alone cannot
+    prevent; cf. the dedup-before-split discipline of The Pile /
+    RefinedWeb). Singleton docs are their own component and fall back
+    to the plain per-doc coin.
+
+    Cost: one CC job over the (tiny) pair graph + one broadcast-sized
+    join of labels onto the corpus — the corpus itself never
+    shuffles. Same integer-range arithmetic as assign_splits
+    (SPLIT_HASH_K), replayable in the oracle.
+
+    Output: (doc_id, component, split).
+    """
+    from sql_engine_spark.operators.dedup import connected_components
+
+    # CC already labels EVERY vertex (singletons get their own id).
+    comp = connected_components(pairs, df, id_col=id_col)
+    return assign_splits(comp, val_ppm, test_ppm, id_col="component").select(
+        id_col, "component", "split"
+    )

@@ -183,6 +183,35 @@ def srp_probe_condition(
     return cond
 
 
+def _with_list_assignment(df: DataFrame, C: "np.ndarray", vec_col: str) -> DataFrame:
+    """Add ``__unit`` (l2-normalized double vector) and ``list_id``
+    (argmax centroid dot — nearest centroid on the unit sphere) as pure
+    scan-stage expressions; centroids ride along as a broadcast-sized
+    SQL literal. ``__nrm`` MUST be materialized as its own column
+    before the transform lambda divides by it: referenced inline, the
+    O(d) norm fold is re-evaluated for EVERY element (O(d²) per row,
+    interpreted — higher-order functions skip codegen). As a
+    multiply-referenced non-cheap alias it survives CollapseProject,
+    so it's computed once per row."""
+    v = to_double_array(vec_col)
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(
+        F.col("__nrm") > 0, F.transform(v, lambda x: x / F.col("__nrm"))
+    ).otherwise(v)
+    dots_sql = (
+        f"transform({_planes_sql(C)}, c -> "
+        f"aggregate(zip_with(__unit, c, (x, y) -> x * y), 0D, (a, x) -> a + x))"
+    )
+    return (
+        df.withColumn("__nrm", nrm)
+        .withColumn("__unit", unit)
+        .withColumn("__dots", F.expr(dots_sql))
+        .withColumn(
+            "list_id", (F.expr("array_position(__dots, array_max(__dots))") - 1).cast("int")
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -211,29 +240,7 @@ def ivf_topk(
     no per-call distributed training jobs.
     """
     C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
-    v = to_double_array(vec_col)
-    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    # __nrm MUST be materialized as its own column before the transform
-    # lambda divides by it: referenced inline, the O(d) norm fold is
-    # re-evaluated for EVERY element (O(d²) per row, interpreted —
-    # higher-order functions skip codegen). As a multiply-referenced
-    # non-cheap alias it survives CollapseProject, so it's computed
-    # once per row.
-    unit = F.when(
-        F.col("__nrm") > 0, F.transform(v, lambda x: x / F.col("__nrm"))
-    ).otherwise(v)
-    dots_sql = (
-        f"transform({_planes_sql(C)}, c -> "
-        f"aggregate(zip_with(__unit, c, (x, y) -> x * y), 0D, (a, x) -> a + x))"
-    )
-    assigned = (
-        df.withColumn("__nrm", nrm)
-        .withColumn("__unit", unit)
-        .withColumn("__dots", F.expr(dots_sql))
-        .withColumn(
-            "list_id", (F.expr("array_position(__dots, array_max(__dots))") - 1).cast("int")
-        )
-    )
+    assigned = _with_list_assignment(df, C, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
     if qn > 0:
@@ -438,3 +445,127 @@ def knn_classify(
         F.col(id_col).alias("qid"), F.col(label_col).cast("long").alias("true_label")
     )
     return truth.join(pred, "qid").select("qid", "true_label", "pred_label", "votes")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding space with the bounded-sample spherical quantizer, find
+    exact cosine-≥-threshold pairs WITHIN each cluster only, take
+    connected components, and keep one representative (min id) per
+    semantic component.
+
+    The cluster restriction is what makes this the 100 TB path: the
+    within-cluster self-join shuffles on ``list_id`` and does
+    O(Σ nᵢ²·d) work instead of O(N²·d) — with k lists that is ~N²/k
+    worst-case and far less for balanced clusters; recall loss happens
+    only for pairs straddling a cluster boundary (measured against
+    brute force in tests; n_lists=1 degenerates to exact). Assignment
+    is one scan expression (`_with_list_assignment`); the unit vectors
+    computed there are reused so cosine inside a cluster is a plain
+    zip_with dot.
+
+    Output: (vec_id, component, kept) — kept=1 iff the row is its
+    component's representative; singleton vectors are their own
+    component and survive. Iterative CC + sample-trained centroids →
+    rows-only correctness (equivalence- and recall-tested in pytest).
+    """
+    from sql_engine_spark.operators.dedup import connected_components
+
+    C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
+    assigned = _with_list_assignment(df, C, vec_col).select(
+        F.col(id_col), F.col("list_id"), F.col("__unit")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "list_id", F.col("__unit").alias("__ua")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "list_id", F.col("__unit").alias("__ub")
+    )
+    cos = F.aggregate(
+        F.zip_with("__ua", "__ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, df, id_col=id_col)
+    return comp.select(
+        F.col(id_col),
+        "component",
+        (F.col(id_col) == F.col("component")).cast("long").alias("kept"),
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    n_lists: int = 8,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Distributed Lloyd's refinement of the coarse quantizer — the
+    step FAISS calls when the driver-side training sample stops being
+    representative: seed centroids from `_train_spherical_quantizer`'s
+    bounded sample, then run ``iterations`` rounds where each round is
+    ONE corpus scan (nearest-centroid assignment as a scan expression)
+    feeding a per-(cluster, dim) mean. The posexplode multiplies rows
+    ×d, but hash aggregation collapses them map-side to at most
+    k·d partial cells per task before the shuffle — the only wide
+    traffic is k·d·partitions tiny doubles, never vectors. The k·d
+    result (≤ a few KB) returns to the driver to become the next
+    round's broadcast literal — the same driver-scalar pattern as the
+    CC convergence check, independent of corpus size.
+
+    Output (one report row per cluster): (list_id, n_vectors,
+    mean_cos) — mean cosine of members to their centroid, the
+    cluster-tightness figure SemDeDup-style pipelines monitor.
+    Iterative + seeded-sample init → rows-only correctness; pytest
+    proves exact equivalence to a numpy Lloyd's run from the same
+    init on the collected corpus.
+    """
+    C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
+    k = len(C)
+    for _ in range(iterations):
+        assigned = _with_list_assignment(df, C, vec_col)
+        cells = (
+            assigned.select("list_id", F.posexplode("__unit").alias("dim", "x"))
+            .groupBy("list_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        newC = np.array(C, dtype=np.float64, copy=True)
+        counts = np.zeros(k)
+        for r in cells:
+            newC[r.list_id][r.dim] = r.s
+            counts[r.list_id] = r.n
+        for j in range(k):
+            if counts[j] > 0:
+                newC[j] = newC[j] / counts[j]
+        nn = np.linalg.norm(newC, axis=1)
+        C = newC / np.where(nn > 0, nn, 1.0)[:, None]
+    final = _with_list_assignment(df, C, vec_col)
+    cen_sql = _planes_sql(C)
+    cos_to_own = F.expr(
+        f"aggregate(zip_with(__unit, element_at({cen_sql}, list_id + 1), "
+        "(x, y) -> x * y), 0D, (a, x) -> a + x)"
+    )
+    return (
+        final.withColumn("__cos", cos_to_own)
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("__cos").alias("mean_cos"),
+        )
+    )

@@ -1,0 +1,267 @@
+"""Wave-5 operator tests: chunk dedup + reconstruction (x56),
+component-aware splits (x57), weighted priority sampling (x58),
+SemDeDup (x59), distributed k-means refinement (x60). Oracle parity
+for x56–x58 runs in test_oracle_matrix; here are behavioral contracts,
+full Python recomputations, plan shapes, and the exactness /
+equivalence proofs backing the two rows-only entries.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.operators import dedup as D
+from sql_engine_spark.operators import similarity as S
+from sql_engine_spark.operators.pipeline import (
+    PRIORITY_HASH_K,
+    _MIX_BUCKETS,
+    chunk_dedup,
+    component_splits,
+    weighted_priority_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def unit_vecs(emb):
+    data = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    out = {}
+    for i, v in data.items():
+        n = np.linalg.norm(v)
+        out[i] = v / n if n > 0 else v
+    return out
+
+
+# --- x56 chunk dedup -------------------------------------------------
+
+
+def _py_chunk_dedup(texts: dict[int, str], c: int = 16):
+    """Reference keep-first chunk dedup in plain Python."""
+    occ = []  # (doc_id, idx, chunk) in corpus order
+    for did in sorted(texts):
+        w = texts[did].split(" ")
+        n = max(-(-len(w) // c), 1)
+        for i in range(n):
+            occ.append((did, i, " ".join(w[i * c : i * c + c])))
+    seen = set()
+    kept = {did: [] for did in texts}
+    counts = {did: [0, 0] for did in texts}  # [n_chunks, n_kept]
+    for did, i, ch in occ:  # sorted (doc_id, idx) == corpus order
+        counts[did][0] += 1
+        if ch not in seen:
+            seen.add(ch)
+            counts[did][1] += 1
+            kept[did].append(ch)
+    return {
+        did: (counts[did][0], counts[did][1], " ".join(kept[did])) for did in texts
+    }
+
+
+def test_chunk_dedup_matches_python(docs):
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    exp = _py_chunk_dedup(texts)
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+        for r in chunk_dedup(docs, 16).collect()
+    }
+    assert got == exp
+    # the corpus must actually exercise removal (planted dups share text)
+    assert any(v[0] != v[1] for v in got.values())
+
+
+def test_chunk_dedup_keep_first_synthetic(spark):
+    # doc 1 repeats doc 0's first chunk; doc 0 keeps it, doc 1 loses it.
+    a = " ".join(f"t{i}" for i in range(16))
+    b = " ".join(f"u{i}" for i in range(8))  # partial tail chunk
+    df = spark.createDataFrame(
+        [(0, a + " " + b), (1, a), (2, b)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_dedup(df, 16).collect()}
+    assert (out[0].n_chunks, out[0].n_kept) == (2, 2)
+    assert out[0].clean_text == a + " " + b
+    assert (out[1].n_chunks, out[1].n_kept) == (1, 0)
+    assert out[1].clean_text == ""
+    # doc 2's single chunk is exactly doc 0's tail chunk text → removed
+    assert (out[2].n_chunks, out[2].n_kept) == (1, 0)
+    assert out[2].clean_text == ""
+
+
+def test_chunk_dedup_two_exchanges(docs):
+    plan = chunk_dedup(docs, 16)._jdf.queryExecution().executedPlan().toString()
+    # exactly the keep-first window + the per-doc rebuild — no hidden
+    # extra shuffle (token-level explode would not add an Exchange but
+    # the chunking must stay scan-stage; 2 is the floor for exact
+    # corpus-wide dedup with reconstruction)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+# --- x58 weighted priority sampling ----------------------------------
+
+
+def test_weighted_sample_matches_python(docs):
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    per = {}
+    for r in rows:
+        w = max(int(r.n_chars), 1)
+        key = ((r.doc_id % _MIX_BUCKETS) * PRIORITY_HASH_K % _MIX_BUCKETS) // w
+        per.setdefault(r.source, []).append((key, r.doc_id, w))
+    exp = set()
+    for src, lst in per.items():
+        for rnk, (key, did, w) in enumerate(sorted(lst)[:20], start=1):
+            exp.add((did, src, w, key, rnk))
+    got = {
+        (r.doc_id, r.source, r.weight, r.sample_key, r.rnk)
+        for r in weighted_priority_sample(docs, k=20).collect()
+    }
+    assert got == exp
+
+
+def test_weighted_sample_prefers_heavier_rows(spark):
+    """With ids fixed, scaling one row's weight up can only move it
+    EARLIER in the priority order (key = h // w is non-increasing in
+    w) — the monotonicity that makes the knob mean something."""
+    df1 = spark.createDataFrame(
+        [(i, "s", 10) for i in range(200)], "doc_id long, source string, n_chars long"
+    )
+    light = {r.doc_id for r in weighted_priority_sample(df1, k=20).collect()}
+    # give one non-sampled doc a huge weight → it must enter the sample
+    missing = min(set(range(200)) - light)
+    df2 = df1.withColumn(
+        "n_chars", F.when(F.col("doc_id") == missing, F.lit(10_000_000)).otherwise(10)
+    )
+    heavy = {r.doc_id for r in weighted_priority_sample(df2, k=20).collect()}
+    assert missing in heavy
+
+
+def test_weighted_sample_single_shuffle(docs):
+    plan = weighted_priority_sample(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- x57 component splits --------------------------------------------
+
+
+def test_component_splits_no_leakage(docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    out = {r.doc_id: (r.component, r.split) for r in component_splits(docs, pairs).collect()}
+    for p in pairs.collect():
+        assert out[p.id_a][1] == out[p.id_b][1], (p.id_a, p.id_b)
+        assert out[p.id_a][0] == out[p.id_b][0]
+    # split labels present and sane proportions (98/1/1 ppm defaults)
+    n = len(out)
+    n_train = sum(1 for v in out.values() if v[1] == "train")
+    assert n_train >= 0.9 * n
+
+
+def test_component_splits_singletons_use_own_id(docs, spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    from sql_engine_spark.operators.pipeline import assign_splits
+
+    got = {r.doc_id: r.split for r in component_splits(docs, empty).collect()}
+    exp = {r.doc_id: r.split for r in assign_splits(docs).collect()}
+    assert got == exp
+
+
+# --- x59 semantic dedup ----------------------------------------------
+
+
+def test_semantic_dedup_single_list_is_exact(emb, unit_vecs):
+    """n_lists=1 removes the cluster restriction → must equal the
+    brute-force threshold graph's connected components exactly."""
+    ids = sorted(unit_vecs)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        if float(unit_vecs[a] @ unit_vecs[b]) >= 0.4:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    exp = {i: find(i) for i in ids}
+    got = {r.vec_id: (r.component, r.kept) for r in S.semantic_dedup(emb, 0.4, n_lists=1).collect()}
+    assert {i: c for i, (c, _) in got.items()} == exp
+    assert all(k == (1 if exp[i] == i else 0) for i, (_, k) in got.items())
+
+
+def test_semantic_dedup_planted_recall(spark):
+    """On a corpus with REAL near-dup structure (planted copies at
+    cos≈0.999) the cluster restriction must not lose dups: every
+    planted copy lands in its original's component."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 16))
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    # plant 30 near-copies: id 1000+i ≈ vector of id i
+    for i in range(30):
+        rows.append((1000 + i, (base[i] + 0.01 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in S.semantic_dedup(df, threshold=0.95, n_lists=4).collect()}
+    found = sum(1 for i in range(30) if out[1000 + i].component == out[i].component)
+    assert found / 30 >= 0.9, f"planted recall {found}/30"
+    # survivors: every component representative kept, copies dropped
+    assert all(out[i].kept == 1 or out[i].component != i for i in range(120))
+
+
+def test_semantic_dedup_pairs_join_on_list(emb):
+    plan = S.semantic_dedup(emb, 0.4, n_lists=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- x60 k-means refinement ------------------------------------------
+
+
+def test_kmeans_refine_matches_numpy(emb, unit_vecs):
+    ids = sorted(unit_vecs)
+    X = np.vstack([unit_vecs[i] for i in ids])
+    C = S._train_spherical_quantizer(emb, "vec_id", "embedding", 8, S.ANN_SEED)
+    for _ in range(3):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.array(C, copy=True)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                newC[j] = X[m].sum(axis=0) / m.sum()
+        nn = np.linalg.norm(newC, axis=1)
+        C = newC / np.where(nn > 0, nn, 1.0)[:, None]
+    assign = np.argmax(X @ C.T, axis=1)
+    got = {r.list_id: (r.n_vectors, r.mean_cos) for r in S.kmeans_refine(emb, 8, iterations=3).collect()}
+    for j in range(len(C)):
+        m = assign == j
+        if not m.any():
+            assert j not in got
+            continue
+        n, mc = int(m.sum()), float((X[m] @ C[j]).mean())
+        assert got[j][0] == n
+        assert got[j][1] == pytest.approx(mc, abs=1e-9)
+
+
+def test_kmeans_refine_improves_tightness(emb):
+    """Refinement rounds must not worsen mean within-cluster cosine
+    (Lloyd's monotonicity, up to the unit-sphere renormalization)."""
+    r0 = S.kmeans_refine(emb, 8, iterations=0).collect()
+    r4 = S.kmeans_refine(emb, 8, iterations=4).collect()
+
+    def overall(rows):
+        tot = sum(r.n_vectors for r in rows)
+        return sum(r.mean_cos * r.n_vectors for r in rows) / tot
+
+    assert overall(r4) >= overall(r0) - 1e-9
