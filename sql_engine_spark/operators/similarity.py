@@ -447,6 +447,49 @@ def knn_classify(
     return truth.join(pred, "qid").select("qid", "true_label", "pred_label", "votes")
 
 
+def _within_cluster_pairs(
+    assigned: DataFrame, threshold: float, block: int = 1024
+) -> DataFrame:
+    """Exact cosine-≥-threshold pairs WITHIN each ``list_id`` group —
+    the SemDeDup inner loop — as a per-cluster ``applyInPandas`` gemm.
+    This is one of the sanctioned drops to the Arrow path: the pair
+    cosine is a dense all-pairs dot product, which Spark's
+    higher-order-function lambdas evaluate INTERPRETED per element
+    (~3M pairs × 64 dims was 20+ s at sf0.1); one BLAS gemm per
+    cluster does the same arithmetic in milliseconds and the Arrow
+    transfer is just n·d doubles per cluster.
+
+    Memory is bounded two ways: the gemm runs in ``block``-row stripes
+    (block × n, never n × n), and at 100 TB cluster size itself must
+    be capped by raising ``n_lists`` with the corpus (SemDeDup's own
+    recipe) — a cluster is one pandas group and must fit an executor.
+    Output: (id_a, id_b), id_a < id_b, unordered."""
+
+    def mine(pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.vstack(pdf["unit"].to_numpy())[order]
+        out_a, out_b = [], []
+        n = len(ids)
+        for s in range(0, n, block):
+            G = M[s : s + block] @ M.T  # stripe × n
+            li, gj = np.nonzero(G >= threshold)
+            gi = li + s
+            keep = gi < gj  # strict upper triangle → id_a < id_b
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[gj[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return assigned.groupBy("list_id").applyInPandas(mine, "id_a long, id_b long")
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.4,
@@ -481,24 +524,9 @@ def semantic_dedup(
 
     C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
     assigned = _with_list_assignment(df, C, vec_col).select(
-        F.col(id_col), F.col("list_id"), F.col("__unit")
+        F.col(id_col).alias("id"), F.col("list_id"), F.col("__unit").alias("unit")
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), "list_id", F.col("__unit").alias("__ua")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), "list_id", F.col("__unit").alias("__ub")
-    )
-    cos = F.aggregate(
-        F.zip_with("__ua", "__ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    pairs = (
-        a.join(b, "list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= threshold)
-        .select("id_a", "id_b")
-    )
+    pairs = _within_cluster_pairs(assigned, threshold)
     comp = connected_components(pairs, df, id_col=id_col)
     return comp.select(
         F.col(id_col),
