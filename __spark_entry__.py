@@ -65,9 +65,10 @@ _DRIVER_ORDER = [
     "x48_multi_query_topk", "x49_knn_classify", "x50_stopword_stats",
     "x51_span_dups", "x52_quality_stratified", "x53_dup_cluster_stats",
     "x54_incremental_dedup", "x55_crossmodal_agreement",
-    # -- new in round 3 (wave 5) ----------------------------------
+    # -- new in round 3 (waves 5-6) -------------------------------
     "x56_chunk_dedup", "x57_component_splits", "x58_weighted_sample",
     "x59_semantic_dedup", "x60_kmeans_refine",
+    "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
     # -- green in CORRECTNESS_r02 --------------------------------
     "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",

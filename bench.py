@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "x48_multi_query_topk",
     "x51_span_dups",
     "x54_incremental_dedup",
+    "x56_chunk_dedup",
+    "x58_weighted_sample",
+    "x59_semantic_dedup",
     "s01_stream_tumbling",
 ]
 
@@ -225,6 +228,8 @@ def _scale_probe(spark, sf_dir: str) -> dict:
         "x20_components": lambda df: noop(
             D.connected_components(D.ngram_jaccard_pairs(df), df)
         ),
+        # corpus-rewriting dedup: window on chunk text + per-doc rebuild
+        "x56_chunk_dedup": lambda df: noop(P.chunk_dedup(df)),
     }
 
     probe: dict = {}

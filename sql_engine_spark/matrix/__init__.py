@@ -65,7 +65,7 @@ def sql_avg_dollars(x: str, count_expr: str = "COUNT(*)", scale: int = 100) -> s
 
 def _register_all() -> None:
     # Importing the submodules populates QUERIES/ORACLE.
-    from sql_engine_spark.matrix import core, ext, pipe, wave3, wave4, wave5  # noqa: F401
+    from sql_engine_spark.matrix import core, ext, pipe, wave3, wave4, wave5, wave6  # noqa: F401
 
 
 _register_all()

@@ -1,0 +1,110 @@
+"""Round-3 wave 6: fractional-epoch upsampling (x61), corpus phrase
+mining (x62), and the Structured-Streaming ingest-dedup (s08 — a
+STREAMING entry with a full hard oracle: its unioned micro-batch
+output must equal the one-shot batch computation, so it shares x54's
+oracle SQL verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_spark.catalog import load_table
+from sql_engine_spark.matrix import ORACLE, query
+from sql_engine_spark.operators import pipeline as P
+
+# The matrix's canonical training-mix: upweight src0 hard (2.3 epochs),
+# downsample src1 (0.5), leave everything else at 1.0.
+_EPOCHS_PPM = {"src0": 2_300_000, "src1": 500_000}
+
+
+@query(
+    "x61_epoch_upsample",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, source,
+             CAST(CASE source WHEN 'src0' THEN 2300000
+                              WHEN 'src1' THEN 500000
+                              ELSE 1000000 END AS BIGINT) AS eppm,
+             ((doc_id % 1048576) * {P.MIX_HASH_K}) % 1048576 AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             eppm // 1000000
+               + CASE WHEN h * CAST(1000000 AS BIGINT)
+                           < (eppm % 1000000) * 1048576 THEN 1 ELSE 0 END AS n_copies
+      FROM e
+    )
+    SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(ci AS BIGINT) AS copy_idx
+    FROM c, UNNEST(range(1, n_copies + 1)) AS t(ci)
+    """,
+)
+def x61_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional-epoch upsampling (operators/pipeline
+    .epoch_upsample): "src0 seen 2.3 epochs, src1 0.5" — ⌊e⌋ copies
+    per doc plus one more iff the integer mix-coin lands under
+    frac(e); copy fan-out is a scan-stage explode(sequence), no
+    shuffle. The oracle replays the arithmetic and the lateral
+    unnest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.epoch_upsample(docs, _EPOCHS_PPM)
+
+
+@query(
+    "x62_phrase_mining",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS phrase
+      FROM tok WHERE len(w) >= 3
+    ),
+    pd AS (SELECT phrase, doc_id, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    st AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(c) AS BIGINT) AS n_occurrences
+      FROM pd GROUP BY 1
+    )
+    SELECT phrase, n_docs, n_occurrences
+    FROM st ORDER BY n_docs DESC, n_occurrences DESC, phrase ASC LIMIT 25
+    """,
+)
+def x62_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus phrase mining (operators/text.phrase_stats): top-25 word
+    trigrams by (document frequency, total occurrences, phrase) — the
+    boilerplate/template detector; occurrence counts (not per-doc
+    distinct) separate in-doc repetition from corpus boilerplate.
+    One explode, two map-side-combinable groupBys, TakeOrdered."""
+    from sql_engine_spark.operators.text import phrase_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_stats(docs, n=3, top=25)
+
+
+@query("s08_stream_ingest_dedup", oracle=ORACLE["x54_incremental_dedup"])
+def s08_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingest dedup (streaming/ingest
+    .stream_incremental_dedup): the doc_id%10==0 "crawl" arrives as a
+    bounded stream; every micro-batch probes the static corpus's
+    memoized shingle index via foreachBatch, landing pairs in
+    idempotent ``__batch_id`` partitions. Each new doc is probed
+    independently against the static corpus, so the unioned output is
+    batch-boundary-invariant and equals x54's one-shot computation —
+    which is why a STREAMING entry can carry x54's hard oracle
+    verbatim."""
+    import tempfile
+
+    from sql_engine_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_incremental_dedup,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    stream = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    base = tempfile.mkdtemp(prefix="sql_engine_s08_")
+    return stream_incremental_dedup(
+        stream, corpus, out_path=f"{base}/pairs", checkpoint=f"{base}/ckpt"
+    )

@@ -956,3 +956,113 @@ def component_splits(
     return assign_splits(comp, val_ppm, test_ppm, id_col="component").select(
         id_col, "component", "split"
     )
+
+
+def incremental_pairs_vs_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Two-input core of incremental near-dup detection — the STREAMING
+    ingest shape: probe a (typically tiny) NEW batch against the static
+    corpus's memoized inverted index. Unlike
+    :func:`incremental_jaccard_pairs` (one corpus, id-mod split, and
+    rarest-first prefixes from the corpus-wide frequency artifact), the
+    batch side here is shingled fresh per call and probes in plain
+    hash order: a micro-batch is too small to amortize a frequency
+    rank, and the one-sided prefix bound (|A∩B| ≥ t·|A| ⟹ any
+    (|A|−⌈t·|A|⌉+1)-subset of A hits B) is exact for ANY prefix
+    order because the corpus side is the FULL index. Per-batch cost is
+    O(batch + matched candidates); the corpus index is built once and
+    shared across every batch of the stream.
+
+    Output: (id_new, id_old, jaccard ≥ threshold).
+    """
+    num = round(threshold * 1_000_000)
+    sh_old = D.shingle_index(corpus_df, id_col, text_col, n)
+    sh_new = (
+        new_df.select(
+            F.col(id_col).alias("id"), D.shingle_hashes(text_col, n).alias("sh")
+        )
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") > 0)
+    )
+    prefix_len = (F.col("sz") - D._ceil_frac(F.col("sz"), threshold) + 1).cast("int")
+    pref = sh_new.select(
+        F.col("id").alias("id_new"),
+        F.col("sz").alias("sz_new"),
+        F.explode(F.slice("sh", 1, prefix_len)).alias("s"),
+    )
+    inv = sh_old.select(
+        F.col("id").alias("id_old"),
+        F.col("sz").alias("sz_old"),
+        F.explode("sh").alias("s"),
+    )
+    cands = (
+        pref.join(
+            inv,
+            (pref["s"] == inv["s"])
+            & (F.col("sz_old") * 1_000_000 >= F.col("sz_new") * num)
+            & (F.col("sz_new") * 1_000_000 >= F.col("sz_old") * num),
+        )
+        .select("id_new", "id_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    a = sh_new.select(
+        F.col("id").alias("id_new"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    b = sh_old.select(
+        F.col("id").alias("id_old"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    j = cands.join(a, "id_new").join(b, "id_old")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+    return (
+        j.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
+    )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs_ppm: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic fractional-epoch upsampling — the training-mix
+    primitive behind "source A is seen 2.3 epochs": every doc of a
+    source with epoch factor e (given in ppm, integer) appears
+    ⌊e⌋ times, plus one more iff its integer coin lands below frac(e)
+    — so expected copies per doc is exactly e, the realized count is
+    deterministic (stable under retries/repartitioning), and a
+    source's realized token budget is within one doc of e·N. The copy
+    fan-out is a scan-stage ``explode(sequence(...))`` — no shuffle at
+    all; sources absent from ``epochs_ppm`` default to 1.0 epochs.
+
+    Output: one row per (doc, copy): (doc_id, source, n_copies,
+    copy_idx 1..n_copies); docs with n_copies=0 (e < 1 and coin
+    misses) vanish, exactly like a sampled-out doc in
+    :func:`weighted_mix`.
+    """
+    e = None
+    for src, ppm in sorted(epochs_ppm.items()):
+        cond = F.col(source_col) == src
+        e = F.when(cond, F.lit(int(ppm))) if e is None else e.when(cond, F.lit(int(ppm)))
+    e = (e.otherwise(F.lit(1_000_000)) if e is not None else F.lit(1_000_000)).cast("long")
+    h = _coin_hash(id_col, MIX_HASH_K)
+    base = (e / F.lit(1_000_000)).cast("long")  # ⌊e⌋ (e ≥ 0)
+    frac_ppm = e - base * 1_000_000
+    extra = (h * F.lit(1_000_000) < frac_ppm * F.lit(_MIX_BUCKETS)).cast("long")
+    n_copies = (base + extra).alias("n_copies")
+    copies = F.when(
+        F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies"))
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.select(F.col(id_col), F.col(source_col), n_copies)
+        .withColumn("copy_idx", F.explode(copies))
+        .select(id_col, source_col, "n_copies", "copy_idx")
+    )

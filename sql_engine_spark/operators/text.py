@@ -218,3 +218,45 @@ def stopword_stats(
             F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"),
         ).otherwise(F.lit(0.0)).alias("stop_ratio"),
     )
+
+
+def phrase_stats(
+    df: DataFrame,
+    n: int = 3,
+    top: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus phrase mining: the ``top`` word-``n``-grams ranked by
+    document frequency (then total occurrences, then phrase — a total
+    deterministic order). Unlike the dedup shingle index this counts
+    OCCURRENCES (no per-doc distinct), which is what boilerplate /
+    template detection needs: a phrase appearing 40× in one doc and
+    once elsewhere is a repetition artifact, not corpus boilerplate,
+    and only the (n_docs, n_occurrences) pair separates the two.
+
+    Plan: scan-stage n-gram expression → one explode → ONE groupBy
+    (map-side combinable counts + count_distinct via a two-column
+    rollup) → global top-``top`` via TakeOrderedAndProject (no full
+    sort). At 100 TB the (phrase) key space is Zipfian — the map-side
+    partial aggregation absorbs the head before the shuffle.
+
+    Output: (phrase, n_docs, n_occurrences) — exactly ``top`` rows.
+    """
+    w = tokens(text_col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("phrase"))
+    per_doc = occ.groupBy("phrase", "id").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_doc.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").alias("n_occurrences"),
+    )
+    return stats.orderBy(
+        F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("phrase").asc()
+    ).limit(top)
