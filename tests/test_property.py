@@ -243,3 +243,103 @@ def test_span_dups_match_python_random(spark, texts, window):
         for r in span_dup_pairs(df, window=window).collect()
     }
     assert got == want
+
+
+@given(texts=_DOC_TEXTS, c=st.integers(min_value=1, max_value=6))
+@SLOW_SPARK
+def test_chunk_dedup_matches_python_random(spark, texts, c):
+    """Keep-first chunk dedup on arbitrary tiny corpora, any chunk
+    width: counts and reassembled text match the sequential Python
+    reference exactly (including whole-doc elimination and partial
+    tail chunks)."""
+    from sql_engine_spark.operators.pipeline import chunk_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    seen: set[str] = set()
+    exp = {}
+    for did, t in enumerate(texts):
+        w = t.split(" ")
+        n = max(-(-len(w) // c), 1)
+        kept = []
+        n_kept = 0
+        for i in range(n):
+            ch = " ".join(w[i * c : i * c + c])
+            if ch not in seen:
+                seen.add(ch)
+                n_kept += 1
+                kept.append(ch)
+        exp[did] = (n, n_kept, " ".join(kept))
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+        for r in chunk_dedup(df, c).collect()
+    }
+    assert got == exp
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(min_value=0, max_value=500),  # weight (0 → clamp 1)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@SLOW_SPARK
+def test_weighted_sample_matches_python_random(spark, rows, k):
+    from sql_engine_spark.operators.pipeline import (
+        PRIORITY_HASH_K,
+        _MIX_BUCKETS,
+        weighted_priority_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    per: dict[str, list] = {}
+    for did, src, w in rows:
+        wt = max(w, 1)
+        key = (did % _MIX_BUCKETS) * PRIORITY_HASH_K % _MIX_BUCKETS // wt
+        per.setdefault(src, []).append((key, did, wt))
+    exp = set()
+    for src, lst in per.items():
+        for rnk, (key, did, wt) in enumerate(sorted(lst)[:k], start=1):
+            exp.add((did, src, wt, key, rnk))
+    got = {
+        (r.doc_id, r.source, r.weight, r.sample_key, r.rnk)
+        for r in weighted_priority_sample(df, k=k).collect()
+    }
+    assert got == exp
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=1 << 40), min_size=1, max_size=30, unique=True),
+    eppm=st.integers(min_value=0, max_value=3_500_000),
+)
+@SLOW_SPARK
+def test_epoch_upsample_matches_arithmetic_for_any_rate(spark, ids, eppm):
+    """Any epoch factor 0..3.5 on any ids: realized copies equal the
+    integer arithmetic exactly, copy_idx is dense 1..n."""
+    from sql_engine_spark.operators.pipeline import (
+        MIX_HASH_K,
+        _MIX_BUCKETS,
+        epoch_upsample,
+    )
+
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, source string")
+    got: dict[int, list[int]] = {}
+    for r in epoch_upsample(df, {"s": eppm}).collect():
+        got.setdefault(r.doc_id, []).append(r.copy_idx)
+        assert r.n_copies == len_expected(i=r.doc_id, eppm=eppm)
+    for i in ids:
+        n = len_expected(i=i, eppm=eppm)
+        assert sorted(got.get(i, [])) == list(range(1, n + 1))
+
+
+def len_expected(i: int, eppm: int) -> int:
+    from sql_engine_spark.operators.pipeline import MIX_HASH_K, _MIX_BUCKETS
+
+    h = (i % _MIX_BUCKETS) * MIX_HASH_K % _MIX_BUCKETS
+    return eppm // 1_000_000 + (1 if h * 1_000_000 < (eppm % 1_000_000) * _MIX_BUCKETS else 0)
