@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sql_engine_spark.session import rightsize_shuffle_partitions
+
 # The driver-generated synthetic corpus (TESTDATA.md).
 TABLES: tuple[str, ...] = (
     "region",
@@ -45,18 +47,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # caller-provided session (the driver's) may lack the conf, and
         # it's a runtime SQL conf, so set it here before schema read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # A caller-provided vanilla session still carries the stock 200
-    # shuffle partitions; on a local-mode box that is pure task-launch
-    # overhead for every non-AQE-coalescible exchange (windows, sorts).
-    # Right-size to the session's core count — but ONLY when the conf
-    # is untouched stock, so a deliberate setting is never overridden.
-    # On a real cluster this conf is always deliberate (or AQE-managed)
-    # and defaultParallelism is cluster-sized, so this is a no-op/safe.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(2, spark.sparkContext.defaultParallelism)),
-        )
+    rightsize_shuffle_partitions(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _normalize_nanos_ts(df)
 

@@ -95,6 +95,8 @@ def s08_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-boundary-invariant and equals x54's one-shot computation —
     which is why a STREAMING entry can carry x54's hard oracle
     verbatim."""
+    import atexit
+    import shutil
     import tempfile
 
     from sql_engine_spark.streaming.ingest import (
@@ -104,7 +106,11 @@ def s08_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
     stream = read_documents_stream(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    # The returned DataFrame lazily reads from base/pairs, so the dir
+    # must outlive this call — reclaim it at interpreter exit instead
+    # of leaking one sink+checkpoint per invocation.
     base = tempfile.mkdtemp(prefix="sql_engine_s08_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     return stream_incremental_dedup(
         stream, corpus, out_path=f"{base}/pairs", checkpoint=f"{base}/ckpt"
     )

@@ -1054,15 +1054,19 @@ def epoch_upsample(
         e = F.when(cond, F.lit(int(ppm))) if e is None else e.when(cond, F.lit(int(ppm)))
     e = (e.otherwise(F.lit(1_000_000)) if e is not None else F.lit(1_000_000)).cast("long")
     h = _coin_hash(id_col, MIX_HASH_K)
-    base = (e / F.lit(1_000_000)).cast("long")  # ⌊e⌋ (e ≥ 0)
-    frac_ppm = e - base * 1_000_000
+    # `div` = true int64 division — a double `/` + cast rounds UP for
+    # eppm near 2^63 with a high frac part (module discipline: integer
+    # counters end-to-end).
+    staged = df.select(F.col(id_col), F.col(source_col), e.alias("__eppm"))
+    base = F.expr("__eppm div 1000000")
+    frac_ppm = F.col("__eppm") - base * 1_000_000
     extra = (h * F.lit(1_000_000) < frac_ppm * F.lit(_MIX_BUCKETS)).cast("long")
     n_copies = (base + extra).alias("n_copies")
     copies = F.when(
         F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies"))
     ).otherwise(F.array().cast("array<long>"))
     return (
-        df.select(F.col(id_col), F.col(source_col), n_copies)
+        staged.select(F.col(id_col), F.col(source_col), n_copies)
         .withColumn("copy_idx", F.explode(copies))
         .select(id_col, source_col, "n_copies", "copy_idx")
     )

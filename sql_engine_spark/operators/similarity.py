@@ -584,11 +584,10 @@ def kmeans_refine(
         nn = np.linalg.norm(newC, axis=1)
         C = newC / np.where(nn > 0, nn, 1.0)[:, None]
     final = _with_list_assignment(df, C, vec_col)
-    cen_sql = _planes_sql(C)
-    cos_to_own = F.expr(
-        f"aggregate(zip_with(__unit, element_at({cen_sql}, list_id + 1), "
-        "(x, y) -> x * y), 0D, (a, x) -> a + x)"
-    )
+    # cosine to OWN centroid is by definition the max centroid dot —
+    # already computed in __dots; re-deriving it would embed the k×d
+    # literal twice and re-run the interpreted O(d) fold per row.
+    cos_to_own = F.array_max("__dots")
     return (
         final.withColumn("__cos", cos_to_own)
         .groupBy("list_id")

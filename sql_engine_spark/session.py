@@ -67,3 +67,23 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def rightsize_shuffle_partitions(spark: SparkSession) -> None:
+    """Right-size a STOCK session's shuffle partitions to its core
+    count — but ONLY when the conf is untouched default ("200"), so a
+    deliberate setting is never overridden (documented tradeoff: a
+    user who deliberately sets exactly 200 is indistinguishable from
+    the default — SURVEY §8.2 / ADVICE r2). On a local box the stock
+    200 is pure task-launch overhead for every non-AQE-coalescible
+    exchange (windows, sorts, streaming state — state partition counts
+    freeze into checkpoints at first batch); on a real cluster the
+    conf is always deliberate or AQE-managed and defaultParallelism is
+    cluster-sized, so this is a no-op/safe. Single shared copy — the
+    sentinel logic must not drift between the batch catalog and the
+    stream readers."""
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(2, spark.sparkContext.defaultParallelism)),
+        )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql_engine_spark.session import rightsize_shuffle_partitions
+
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 _PAIRS_SCHEMA = "id_new long, id_old long, jaccard double"
@@ -34,11 +36,7 @@ def read_documents_stream(
     file sources cannot infer mid-stream). ``max_files_per_trigger``
     bounds micro-batch size; tests point this at a multi-file copy of
     the corpus (glob='*.parquet') to force several batches."""
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(2, spark.sparkContext.defaultParallelism)),
-        )
+    rightsize_shuffle_partitions(spark)
     reader = (
         spark.readStream.schema(DOCS_SCHEMA)
         .format("parquet")
@@ -99,8 +97,14 @@ def stream_incremental_dedup(
         .start()
     )
     q.awaitTermination()
-    try:
-        return spark.read.parquet(out_path).select("id_new", "id_old", "jaccard")
-    except Exception:
-        # no batch produced files (empty stream / zero pairs everywhere)
+    # Only the legitimately-empty case (no batch ever wrote a file)
+    # falls back to an empty frame — a real read failure (corrupt part,
+    # permissions) must SURFACE, not silently report "no duplicates".
+    import os
+
+    has_files = os.path.isdir(out_path) and any(
+        f.startswith("__batch_id=") for f in os.listdir(out_path)
+    )
+    if not has_files:
         return spark.createDataFrame([], _PAIRS_SCHEMA)
+    return spark.read.parquet(out_path).select("id_new", "id_old", "jaccard")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_engine_spark.functions.money import cents, from_cents
+from sql_engine_spark.session import rightsize_shuffle_partitions
 
 EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
@@ -64,11 +65,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every stateful operator with 200 state-store partitions — pure
     # per-micro-batch overhead on a local box, and the partition count
     # is frozen into the query's checkpoint at start.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(2, spark.sparkContext.defaultParallelism)),
-        )
+    rightsize_shuffle_partitions(spark)
     nanos = _events_ts_is_nanos(sf_dir)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_TS)
