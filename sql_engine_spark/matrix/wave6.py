@@ -1,8 +1,8 @@
 """Round-3 wave 6: fractional-epoch upsampling (x61), corpus phrase
-mining (x62), and the Structured-Streaming ingest-dedup (s08 — a
+mining (x62), the Structured-Streaming ingest-dedup (s08 — a
 STREAMING entry with a full hard oracle: its unioned micro-batch
 output must equal the one-shot batch computation, so it shares x54's
-oracle SQL verbatim).
+oracle SQL verbatim), and perceptual image near-dup mining (x63).
 """
 
 from __future__ import annotations
@@ -114,3 +114,19 @@ def s08_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_incremental_dedup(
         stream, corpus, out_path=f"{base}/pairs", checkpoint=f"{base}/ckpt"
     )
+
+
+@query("x63_image_dup_pairs")
+def x63_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup mining (operators/multimodal
+    .image_dup_pairs): every document rendered as a real PNG
+    (encode_text_as_png), decoded and average-hashed (8×8 aHash) in
+    one Arrow mapInPandas pass, then mined with the SAME banded
+    hamming join as SimHash (dedup.banded_hamming_pairs — exact
+    recall for hamming < 4 by pigeonhole). Python decode ↛ SQL →
+    rows-only; pytest proves exact equality with a brute-force numpy
+    recomputation at the pigeonhole threshold."""
+    from sql_engine_spark.operators.multimodal import encode_text_as_png, image_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dup_pairs(encode_text_as_png(docs), max_hamming=3)

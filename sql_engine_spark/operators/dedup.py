@@ -512,7 +512,19 @@ def simhash_pairs(
         df,
         lambda: simhash_signatures(df, id_col, text_col, n),
     )
-    n_bands = _SIMHASH_BITS // _BAND_BITS
+    return banded_hamming_pairs(sig, max_hamming)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame, max_hamming: int, n_bands: int = _SIMHASH_BITS // _BAND_BITS
+) -> DataFrame:
+    """Banded-LSH pair mining over any 64-bit signature emitted as
+    ``(id, band0..band{n-1})`` 16-bit ints (SimHash, image average
+    hash, ...): candidates share ≥1 band, then the exact hamming
+    distance (bit_count of the XORed bands) filters. By pigeonhole,
+    recall is EXACT for hamming < n_bands; beyond that it degrades
+    gracefully like any banding. Output: (id_a, id_b, hamming),
+    id_a < id_b."""
     # Long format (id, band_idx, band_value, full signature): ONE
     # self-join on (band_idx, band_value) replaces n_bands separate
     # joins, and the signature pipeline is computed once per side.

@@ -403,3 +403,76 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("band0", LongType()),
+        StructField("band1", LongType()),
+        StructField("band2", LongType()),
+        StructField("band3", LongType()),
+    ]
+)
+
+
+def image_avg_hash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit average hash (aHash) per image — the classic perceptual
+    fingerprint: decode to pixels, collapse channels to grayscale,
+    block-average onto a ``grid``×``grid`` lattice (index-mapped
+    bincount, so ANY image size ≥1×1 works without a resize library),
+    threshold each cell at the global mean. Arrow-batched
+    ``mapInPandas`` over the payload column — pixels never reach the
+    driver, and the per-image cost is one numpy pass.
+
+    Emitted directly as 4 × 16-bit bands (ints) — the exact signature
+    shape :func:`~sql_engine_spark.operators.dedup.banded_hamming_pairs`
+    mines, so the expensive Python stage runs once and all candidate
+    generation/verification stays JVM-side."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "band0", "band1", "band2", "band3")}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                info = media_info(raw)
+                pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
+                w, h = int(info["width"]), int(info["height"])
+                ch = max(1, len(pixels) // max(1, w * h))
+                arr = (
+                    np.frombuffer(pixels[: w * h * ch], dtype=np.uint8)
+                    .reshape(h, w, ch)
+                    .astype(np.float64)
+                    .mean(axis=2)
+                )
+                ri = (np.arange(h) * grid) // h
+                ci = (np.arange(w) * grid) // w
+                cell = (ri[:, None] * grid + ci[None, :]).ravel()
+                sums = np.bincount(cell, weights=arr.ravel(), minlength=grid * grid)
+                cnts = np.bincount(cell, minlength=grid * grid)
+                means = sums / np.maximum(cnts, 1)
+                bits = means > arr.mean()  # empty cells stay 0
+                out["id"].append(int(doc_id))
+                for b in range(4):
+                    val = 0
+                    for off in range(16):
+                        if bits[b * 16 + off]:
+                            val |= 1 << off
+                    out[f"band{b}"].append(val)
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return df.mapInPandas(_hash, schema=AHASH_SCHEMA)
+
+
+def image_dup_pairs(df: DataFrame, max_hamming: int = 3, grid: int = 8) -> DataFrame:
+    """Perceptual image near-dup mining: aHash signatures → banded
+    hamming join (shared with SimHash — exact recall for hamming <
+    4 by pigeonhole, the same LSH guarantee). The decode+hash Python
+    stage is O(corpus) mapInPandas; candidates and the exact hamming
+    verify are pure JVM expressions keyed on 16-bit ints. Output:
+    (id_a, id_b, hamming), id_a < id_b."""
+    from sql_engine_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(image_avg_hash(df, grid), max_hamming)

@@ -151,3 +151,80 @@ def test_stream_ingest_dedup_empty_stream(spark, docs, tmp_path):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id_new", "id_old", "jaccard"]
+
+
+# --- x63 image average-hash dedup ------------------------------------
+
+
+def _py_ahash(text: str, width: int = 16, grid: int = 8):
+    import numpy as np
+
+    data = text.encode()
+    stride = width * 3
+    h = max(1, (len(data) + stride - 1) // stride)
+    pixels = data.ljust(width * h * 3, b"\x00")
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(h, width, 3)
+        .astype(np.float64)
+        .mean(axis=2)
+    )
+    ri = (np.arange(h) * grid) // h
+    ci = (np.arange(width) * grid) // width
+    cell = (ri[:, None] * grid + ci[None, :]).ravel()
+    sums = np.bincount(cell, weights=arr.ravel(), minlength=grid * grid)
+    cnts = np.bincount(cell, minlength=grid * grid)
+    bits = (sums / np.maximum(cnts, 1)) > arr.mean()
+    return tuple(
+        sum((1 << off) for off in range(16) if bits[b * 16 + off]) for b in range(4)
+    )
+
+
+def test_image_avg_hash_matches_python(docs):
+    from sql_engine_spark.operators.multimodal import encode_text_as_png, image_avg_hash
+
+    rows = docs.select("doc_id", "text").collect()
+    sig = {
+        r.id: (r.band0, r.band1, r.band2, r.band3)
+        for r in image_avg_hash(encode_text_as_png(docs)).collect()
+    }
+    assert len(sig) == len(rows)
+    for r in rows:
+        assert sig[r.doc_id] == _py_ahash(r.text), r.doc_id
+
+
+def test_image_dup_pairs_exact_at_pigeonhole(docs):
+    """hamming ≤ 3 < 4 bands ⟹ banding recall is EXACT (pigeonhole):
+    the mined pair set must equal the brute-force all-pairs result."""
+    from sql_engine_spark.operators.multimodal import encode_text_as_png, image_dup_pairs
+
+    rows = docs.select("doc_id", "text").collect()
+    sig = {r.doc_id: _py_ahash(r.text) for r in rows}
+    ids = sorted(sig)
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+
+    brute = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_dup_pairs(encode_text_as_png(docs), max_hamming=3).collect()
+    }
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_image_dup_identical_payloads_hamming_zero(spark):
+    from sql_engine_spark.operators.multimodal import encode_text_as_png, image_dup_pairs
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd ee ff gg hh"), (1, "aa bb cc dd ee ff gg hh"), (2, "zz " * 40)],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in image_dup_pairs(encode_text_as_png(df)).collect()}
+    assert got.get((0, 1)) == 0
