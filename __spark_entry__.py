@@ -69,7 +69,7 @@ _DRIVER_ORDER = [
     "x56_chunk_dedup", "x57_component_splits", "x58_weighted_sample",
     "x59_semantic_dedup", "x60_kmeans_refine",
     "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
-    "x63_image_dup_pairs",
+    "x63_image_dup_pairs", "x64_source_divergence", "x65_quality_dedup",
     # -- green in CORRECTNESS_r02 --------------------------------
     "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",

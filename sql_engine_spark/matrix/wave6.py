@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from sql_engine_spark.catalog import load_table
 from sql_engine_spark.matrix import ORACLE, query
+from sql_engine_spark.matrix.ext import _JACCARD_PAIRS_CTE, _STOP_LIST
 from sql_engine_spark.operators import pipeline as P
 
 # The matrix's canonical training-mix: upweight src0 hard (2.3 epochs),
@@ -130,3 +131,91 @@ def x63_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return image_dup_pairs(encode_text_as_png(docs), max_hamming=3)
+
+
+@query(
+    "x64_source_divergence",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+    corpus AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    vocab AS (SELECT t, c FROM corpus ORDER BY c DESC, t ASC LIMIT 30),
+    tv AS (SELECT tok.source, tok.t FROM tok JOIN vocab ON tok.t = vocab.t),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM tv GROUP BY source),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM tv),
+    ost AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS o FROM tv GROUP BY source, t),
+    grid AS (
+      SELECT ns.source, ns.n_s, vocab.t, vocab.c, COALESCE(ost.o, 0) AS o, nn.N
+      FROM ns CROSS JOIN vocab CROSS JOIN nn
+      LEFT JOIN ost ON ost.source = ns.source AND ost.t = vocab.t
+    ),
+    terms AS (
+      SELECT source, n_s, t,
+             (CAST(o*N - n_s*c AS DOUBLE) * CAST(o*N - n_s*c AS DOUBLE))
+               / ((CAST(N AS DOUBLE) * CAST(n_s AS DOUBLE)) * CAST(c AS DOUBLE)) AS x
+      FROM grid
+    )
+    SELECT source, n_s AS n_tokens,
+           list_reduce(list_prepend(0.0, list(x ORDER BY t ASC)), (a, b) -> a + b) AS chi2
+    FROM terms GROUP BY source, n_s
+    """,
+)
+def x64_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source χ² token-distribution divergence from the corpus
+    (operators/pipeline.source_divergence) — the domain-drift monitor,
+    over the deterministic top-30 corpus vocabulary. int64 counts, one
+    fixed-order IEEE multiply/divide per term (d < 2⁵³ so casts are
+    exact), token-sorted left-to-right fold — float math that still
+    hash-matches DuckDB bit for bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.source_divergence(docs, vocab_size=30)
+
+
+@query(
+    "x65_quality_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id),
+    tq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    q AS (
+      SELECT doc_id,
+             0.5 * (CAST(len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+                    / CAST(len(w) AS DOUBLE))
+             + 0.3 * least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+             + 0.2 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) AS qs
+      FROM tq
+    ),
+    r AS (
+      SELECT c.component, c.doc_id, q.qs,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.qs DESC, c.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS nd
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS keep_doc, qs AS keep_quality,
+           CAST(nd AS BIGINT) AS n_docs
+    FROM r WHERE rn = 1
+    """,
+)
+def x65_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization (operators/pipeline
+    .quality_dedup_survivors): each near-dup component keeps its
+    HIGHEST-quality member (tie → min id) — "keep the best copy", the
+    policy x03's min-id canonicalization approximates. Oracle =
+    recursive-CTE reachability + the x52 quality formula + a
+    deterministic (quality DESC, id ASC) window."""
+    from sql_engine_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return P.quality_dedup_survivors(docs, pairs)

@@ -1070,3 +1070,101 @@ def epoch_upsample(
         .withColumn("copy_idx", F.explode(copies))
         .select(id_col, source_col, "n_copies", "copy_idx")
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    vocab_size: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source χ² divergence of the token distribution from the
+    corpus-wide distribution — the "domain drift" monitor a mixture
+    pipeline watches (a source whose χ² jumps changed its content).
+    Restricted to the top-``vocab_size`` corpus tokens (deterministic
+    count-desc/token-asc cut, the stopword-machinery bound that keeps
+    the per-source fold FIXED-LENGTH no matter the corpus size).
+
+    Exactness discipline: all counts are int64; each token's term is
+    d²/(N·n_s·c_t) with d = o·N − n_s·c_t computed in int64 (exact),
+    then ONE fixed-order double multiply/divide per term (d < 2⁵³ so
+    the cast is exact and IEEE ops are deterministic), summed in a
+    token-sorted LEFT-TO-RIGHT fold — bit-identical to the DuckDB
+    oracle despite being float math.
+
+    Plan: one explode → three map-side-combinable groupBys (corpus
+    counts → broadcast vocab; per-source totals; per-(source, token)
+    counts) → a sources×vocab broadcast grid (zero counts must
+    contribute their expected mass) → per-source sorted fold. No
+    corpus-sized shuffle beyond the (source, token) rollup.
+
+    Output: (source, n_tokens, chi2).
+    """
+    tok = df.select(F.col(source_col).alias("source"), F.explode(T.tokens(text_col)).alias("t"))
+    corpus = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = corpus.orderBy(F.col("c").desc(), F.col("t").asc()).limit(vocab_size)
+    tok_v = tok.join(F.broadcast(vocab.select("t")), "t")
+    n_s = tok_v.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    big_n = tok_v.agg(F.count(F.lit(1)).alias("N"))
+    o_st = tok_v.groupBy("source", "t").agg(F.count(F.lit(1)).alias("o"))
+    grid = (
+        n_s.crossJoin(F.broadcast(vocab))
+        .join(o_st, ["source", "t"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(big_n))
+    )
+    d = (F.col("o") * F.col("N") - F.col("n_s") * F.col("c")).cast("double")
+    den = (
+        F.col("N").cast("double") * F.col("n_s").cast("double")
+    ) * F.col("c").cast("double")
+    term = (d * d) / den
+    per = grid.select("source", "n_s", F.struct(F.col("t"), term.alias("x")).alias("tx"))
+    return (
+        per.groupBy("source", "n_s")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("tx")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ).alias("chi2")
+        )
+        .select("source", F.col("n_s").alias("n_tokens"), "chi2")
+    )
+
+
+def quality_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware dedup canonicalization: for every near-duplicate
+    connected component keep the HIGHEST-quality member (tie → min id)
+    instead of the min-id member that plain :func:`dedup_by_pairs` /
+    x03 keeps — the policy production dedup actually wants ("keep the
+    best copy", not "keep the first crawled copy"). Singleton docs
+    keep themselves.
+
+    One CC job over the (tiny) pair graph + one quality scan + one
+    per-component row_number window over the (corpus-sized but narrow)
+    (component, quality, id) triple.
+
+    Output: (component, keep_doc, keep_quality, n_docs).
+    """
+    from sql_engine_spark.operators.dedup import connected_components
+    from sql_engine_spark.operators.text import quality_expr
+
+    comp = connected_components(pairs, df, id_col=id_col)
+    scored = df.select(F.col(id_col), quality_expr(text_col).alias("q"))
+    labeled = comp.join(scored, id_col)
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col(id_col).asc())
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.min_by(F.col(id_col), F.col("__rn")).alias("keep_doc"),
+            F.min_by(F.col("q"), F.col("__rn")).alias("keep_quality"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
