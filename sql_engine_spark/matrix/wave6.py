@@ -2,7 +2,10 @@
 mining (x62), the Structured-Streaming ingest-dedup (s08 — a
 STREAMING entry with a full hard oracle: its unioned micro-batch
 output must equal the one-shot batch computation, so it shares x54's
-oracle SQL verbatim), and perceptual image near-dup mining (x63).
+oracle SQL verbatim), perceptual image near-dup mining (x63),
+per-source χ² divergence (x64), quality-aware dedup canonicalization
+(x65), the strict event funnel (x66), and weekly retention cohorts
+(x67).
 """
 
 from __future__ import annotations
@@ -219,3 +222,66 @@ def x65_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
     return P.quality_dedup_survivors(docs, pairs)
+
+
+@query(
+    "x66_event_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts ASC, event_id ASC) AS types
+      FROM events GROUP BY user_id
+    ),
+    walked AS (
+      SELECT user_id,
+             CAST(list_reduce(
+               list_prepend('0', types),
+               (a, t) -> CASE WHEN a = '0' AND t = 'view' THEN '1'
+                              WHEN a = '1' AND t = 'click' THEN '2'
+                              WHEN a = '2' AND t = 'purchase' THEN '3'
+                              ELSE a END
+             ) AS BIGINT) AS stage
+      FROM seq
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM walked GROUP BY stage
+    """,
+)
+def x66_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel view→click→purchase (operators/temporal
+    .event_funnel): one per-user shuffle + a sorted-array fold — no
+    k-way self-joins. ORDER matters (a funnel, not three EXISTS), and
+    the (ts, event_id) sort makes the walk engine-exact, so an
+    ordered-walk computation carries a full hard oracle."""
+    from sql_engine_spark.operators.temporal import event_funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return event_funnel(events)
+
+
+@query(
+    "x67_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id AS u,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+      FROM events
+    ),
+    first AS (SELECT u, MIN(w) AS w0 FROM uw GROUP BY u)
+    SELECT CAST(first.w0 AS BIGINT) AS cohort_week,
+           CAST(uw.w - first.w0 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN first ON uw.u = first.u
+    GROUP BY 1, 2
+    """,
+)
+def x67_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators/temporal.retention_cohorts):
+    cohort = integer week (days-since-epoch div 7 — engine-neutral
+    arithmetic, no date_trunc semantics) of each user's first event;
+    distinct active users per (cohort_week, week_offset). Two narrow
+    map-side-combinable aggregations."""
+    from sql_engine_spark.operators.temporal import retention_cohorts
+
+    events = load_table(spark, sf_dir, "events")
+    return retention_cohorts(events)

@@ -20,7 +20,7 @@ Catalyst executes with hash shuffles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -100,4 +100,87 @@ def range_join_pairs(
     return (
         joined.filter(F.abs(dt) <= band_ms)
         .select(F.col(key), "id_a", "id_b", dt.alias("dt_ms"))
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Strict sequential funnel: per user, walk events in (ts, id)
+    order and advance one stage each time the NEXT expected step type
+    appears (a later 'view' cannot satisfy stage 0 twice; order is
+    what distinguishes a funnel from three EXISTS filters). Report how
+    many users topped out at each stage 0..len(steps).
+
+    Plan: ONE shuffle (the per-user collect_list), then the walk is a
+    sorted-array left-to-right ``F.aggregate`` fold — a scan-stage
+    expression, no window cascade, no per-step self-joins (the classic
+    k-way funnel join would be k shuffles and explode on power users).
+    Per-user state is one int; a pathological user's event list is
+    bounded by their own event count (AQE skew-split applies). The
+    deterministic (ts, id) sort makes the result engine-exact, so this
+    carries a full DuckDB oracle despite being an ordered-walk
+    computation.
+
+    Output: (stage, n_users), stage = furthest step index reached.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"), F.col(type_col).alias("t")).alias("e"),
+    )
+    walk = F.aggregate(
+        F.array_sort(F.collect_list("e")),
+        F.lit(0),
+        lambda acc, e: reduce_stage(acc, e["t"], steps),
+    )
+    per_user = ev.groupBy("u").agg(walk.alias("stage"))
+    return (
+        per_user.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("stage").cast("long").alias("stage"), "n_users")
+    )
+
+
+def reduce_stage(acc: Column, t: Column, steps: tuple[str, ...]) -> Column:
+    """One funnel-walk step: advance acc when ``t`` is the next
+    expected type. Exposed so the fold lambda stays readable."""
+    out = None
+    for i, s in enumerate(steps):
+        cond = (acc == i) & (t == s)
+        out = F.when(cond, F.lit(i + 1)) if out is None else out.when(cond, F.lit(i + 1))
+    return out.otherwise(acc)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    epoch: str = "2024-01-01",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: cohort = the integer week (days since
+    ``epoch`` div 7 — engine-neutral integer arithmetic, no
+    date_trunc semantics to disagree on) of each user's FIRST event;
+    report distinct active users per (cohort_week, week_offset).
+
+    Two map-side-combinable aggregations (per-user first week, then
+    the cohort grid) — the corpus shuffles narrow (user, week) pairs
+    only. Output: (cohort_week, week_offset, n_users).
+    """
+    wk = (F.datediff(F.to_date(ts_col), F.lit(epoch).cast("date")) / 7).cast("int")
+    uw = events.select(F.col(user_col).alias("u"), wk.alias("w")).distinct()
+    first = uw.groupBy("u").agg(F.min("w").alias("w0"))
+    return (
+        uw.join(first, "u")
+        .groupBy(F.col("w0").alias("cohort_week"), (F.col("w") - F.col("w0")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_users",
+        )
     )

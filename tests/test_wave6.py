@@ -306,3 +306,82 @@ def test_quality_dedup_keeps_best_member(docs):
     # would prove the policy differs from x03 — assert only if present
     multi = [c for c in got if got[c][2] >= 2]
     assert multi  # corpus has planted near-dups
+
+
+# --- x66 funnel / x67 retention --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_event_funnel_matches_python(events):
+    from sql_engine_spark.operators.temporal import event_funnel
+
+    rows = events.select("user_id", "ts", "event_id", "event_type").collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.user_id].append((r.ts, r.event_id, r.event_type))
+    steps = ("view", "click", "purchase")
+    stages = Counter()
+    for u, evs in per.items():
+        st = 0
+        for _, _, t in sorted(evs):
+            if st < 3 and t == steps[st]:
+                st += 1
+        stages[st] += 1
+    got = {r.stage: r.n_users for r in event_funnel(events).collect()}
+    assert got == dict(stages)
+    # the synthetic stream is busy enough that every user converts or
+    # nearly every — at minimum the output covers all observed stages
+    assert sum(got.values()) == len(per)
+
+
+def test_event_funnel_order_matters(spark):
+    """purchase-before-view users must NOT count as converted — the
+    property that separates a funnel from three EXISTS filters."""
+    from sql_engine_spark.operators.temporal import event_funnel
+
+    rows = [
+        # user 1: v -> c -> p (full conversion)
+        (1, "2024-01-01 00:00:01", 1, "view"),
+        (2, "2024-01-01 00:00:02", 1, "click"),
+        (3, "2024-01-01 00:00:03", 1, "purchase"),
+        # user 2: p -> c -> v (reverse order: stage 1 only, the view)
+        (4, "2024-01-01 00:00:01", 2, "purchase"),
+        (5, "2024-01-01 00:00:02", 2, "click"),
+        (6, "2024-01-01 00:00:03", 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.stage: r.n_users for r in event_funnel(df).collect()}
+    assert got == {3: 1, 1: 1}
+
+
+def test_event_funnel_single_shuffle(events):
+    from sql_engine_spark.operators.temporal import event_funnel
+
+    plan = event_funnel(events)._jdf.queryExecution().executedPlan().toString()
+    # per-user collect + final stage rollup — never k-way self-joins
+    assert "Join" not in plan, plan
+
+
+def test_retention_cohorts_matches_python(events):
+    from sql_engine_spark.operators.temporal import retention_cohorts
+
+    import datetime
+
+    rows = events.select("user_id", "ts").collect()
+    epoch = datetime.date(2024, 1, 1)
+    uw = {(r.user_id, (r.ts.date() - epoch).days // 7) for r in rows}
+    first = {}
+    for u, w in uw:
+        first[u] = min(first.get(u, w), w)
+    grid = Counter((first[u], w - first[u]) for u, w in uw)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in retention_cohorts(events).collect()
+    }
+    assert got == dict(grid)
