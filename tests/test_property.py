@@ -343,3 +343,44 @@ def len_expected(i: int, eppm: int) -> int:
 
     h = (i % _MIX_BUCKETS) * MIX_HASH_K % _MIX_BUCKETS
     return eppm // 1_000_000 + (1 if h * 1_000_000 < (eppm % 1_000_000) * _MIX_BUCKETS else 0)
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SLOW_SPARK
+def test_event_funnel_matches_python_random(spark, evs):
+    """Strict-funnel walk on arbitrary tiny event streams: stage
+    histogram matches the sequential Python walk exactly (event_id is
+    the arrival index, so ts ties resolve deterministically)."""
+    import datetime
+
+    from sql_engine_spark.operators.temporal import event_funnel
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i // 3), u, t)
+        for i, (u, t) in enumerate(evs)  # //3 forces some ts ties
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    steps = ("view", "click", "purchase")
+    per: dict[int, list] = {}
+    for i, (u, t) in enumerate(evs):
+        per.setdefault(u, []).append((i // 3, i, t))
+    from collections import Counter
+
+    exp = Counter()
+    for u, lst in per.items():
+        stg = 0
+        for _, _, t in sorted(lst):
+            if stg < 3 and t == steps[stg]:
+                stg += 1
+        exp[stg] += 1
+    got = {r.stage: r.n_users for r in event_funnel(df).collect()}
+    assert got == dict(exp)
