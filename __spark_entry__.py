@@ -74,7 +74,7 @@ _DRIVER_ORDER = [
     "x59_semantic_dedup", "x60_kmeans_refine",
     "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
     "x63_image_dup_pairs", "x64_source_divergence", "x65_quality_dedup",
-    "x66_event_funnel", "x67_retention_cohorts",
+    "x66_event_funnel", "x67_retention_cohorts", "x68_event_anomalies",
     # -- green in CORRECTNESS_r02 --------------------------------
     "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",

@@ -4,8 +4,8 @@ STREAMING entry with a full hard oracle: its unioned micro-batch
 output must equal the one-shot batch computation, so it shares x54's
 oracle SQL verbatim), perceptual image near-dup mining (x63),
 per-source χ² divergence (x64), quality-aware dedup canonicalization
-(x65), the strict event funnel (x66), and weekly retention cohorts
-(x67).
+(x65), the strict event funnel (x66), weekly retention cohorts (x67),
+and per-user event-rate anomaly z-scores (x68).
 """
 
 from __future__ import annotations
@@ -285,3 +285,44 @@ def x67_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return retention_cohorts(events)
+
+
+@query(
+    "x68_event_anomalies",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS U,
+             CAST(SUM(n_events) AS BIGINT) AS s1,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      FROM per
+    )
+    SELECT per.user_id, per.n_events,
+           CASE WHEN sqrt(CAST(mom.U * mom.s2 - mom.s1 * mom.s1 AS DOUBLE)) > 0
+                THEN CAST(per.n_events * mom.U - mom.s1 AS DOUBLE)
+                     / sqrt(CAST(mom.U * mom.s2 - mom.s1 * mom.s1 AS DOUBLE))
+                     * sqrt(CAST(mom.U AS DOUBLE))
+                ELSE 0.0 END AS z,
+           CAST(CASE WHEN abs(
+                  CASE WHEN sqrt(CAST(mom.U * mom.s2 - mom.s1 * mom.s1 AS DOUBLE)) > 0
+                       THEN CAST(per.n_events * mom.U - mom.s1 AS DOUBLE)
+                            / sqrt(CAST(mom.U * mom.s2 - mom.s1 * mom.s1 AS DOUBLE))
+                            * sqrt(CAST(mom.U AS DOUBLE))
+                       ELSE 0.0 END) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM per CROSS JOIN mom
+    """,
+)
+def x68_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-rate z-scores (operators/temporal
+    .event_rate_anomalies): integer moments (n, U, Σn, Σn² — all
+    order-independent int64), then one fixed-sequence double
+    computation per user; population moments broadcast as a 1-row
+    cross join. Bit-exact despite the sqrt (IEEE sqrt is correctly
+    rounded on both engines)."""
+    from sql_engine_spark.operators.temporal import event_rate_anomalies
+
+    events = load_table(spark, sf_dir, "events")
+    return event_rate_anomalies(events)

@@ -184,3 +184,45 @@ def retention_cohorts(
             "n_users",
         )
     )
+
+
+def event_rate_anomalies(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-rate anomaly score: how many standard deviations
+    each user's event count sits from the population mean — the
+    bot/abuse screen an event pipeline runs before sessionization.
+
+    Exactness discipline: per-user counts n, the population size U,
+    Σn and Σn² are all int64 (order-independent under parallel partial
+    aggregation), and the z-score is computed WITHOUT forming the mean
+    — ``z = (n·U − Σn) / sqrt(U·Σn² − (Σn)²) · sqrt(U)`` is algebra
+    on exact integers with a fixed sequence of IEEE double ops (one
+    sqrt per factor, one division), so Spark and DuckDB produce
+    identical bits. The population moments fold in as a broadcast
+    1-row cross join — never a driver collect.
+
+    Output: (user_id, n_events, z, is_anomaly 0/1), all users.
+    """
+    per = events.groupBy(F.col(user_col)).agg(F.count(F.lit(1)).alias("n_events"))
+    mom = per.agg(
+        F.count(F.lit(1)).alias("U"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    num = (F.col("n_events") * F.col("U") - F.col("s1")).cast("double")
+    den = F.sqrt((F.col("U") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    z = F.when(den > 0, num / den * F.sqrt(F.col("U").cast("double"))).otherwise(F.lit(0.0))
+    return (
+        per.crossJoin(F.broadcast(mom))
+        .withColumn("z", z)
+        .select(
+            user_col,
+            "n_events",
+            "z",
+            (F.abs(F.col("z")) > F.lit(z_threshold)).cast("long").alias("is_anomaly"),
+        )
+    )

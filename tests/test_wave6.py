@@ -385,3 +385,34 @@ def test_retention_cohorts_matches_python(events):
         for r in retention_cohorts(events).collect()
     }
     assert got == dict(grid)
+
+
+def test_event_anomalies_matches_python(events):
+    import math
+
+    from sql_engine_spark.operators.temporal import event_rate_anomalies
+
+    rows = events.select("user_id").collect()
+    per = Counter(r.user_id for r in rows)
+    U = len(per)
+    s1 = sum(per.values())
+    s2 = sum(n * n for n in per.values())
+    den = math.sqrt(float(U * s2 - s1 * s1))
+    got = {r.user_id: (r.n_events, r.z, r.is_anomaly) for r in event_rate_anomalies(events).collect()}
+    assert set(got) == set(per)
+    for u, n in per.items():
+        z = float(n * U - s1) / den * math.sqrt(float(U)) if den > 0 else 0.0
+        assert got[u][0] == n
+        assert got[u][1] == pytest.approx(z, rel=1e-12)
+        assert got[u][2] == (1 if abs(z) > 2.0 else 0)
+
+
+def test_event_anomalies_flags_outlier(spark):
+    from sql_engine_spark.operators.temporal import event_rate_anomalies
+
+    rows = [(i, i % 20) for i in range(200)]  # 20 users x 10 events
+    rows += [(1000 + i, 99) for i in range(200)]  # user 99: 200 events
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    got = {r.user_id: r.is_anomaly for r in event_rate_anomalies(df).collect()}
+    assert got[99] == 1
+    assert sum(got.values()) == 1  # only the bot
