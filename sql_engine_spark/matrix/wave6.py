@@ -140,12 +140,12 @@ def x63_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x64_source_divergence",
     oracle="""
     WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
-    corpus AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    st_all AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS o FROM tok GROUP BY source, t),
+    corpus AS (SELECT t, CAST(SUM(o) AS BIGINT) AS c FROM st_all GROUP BY t),
     vocab AS (SELECT t, c FROM corpus ORDER BY c DESC, t ASC LIMIT 30),
-    tv AS (SELECT tok.source, tok.t FROM tok JOIN vocab ON tok.t = vocab.t),
-    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM tv GROUP BY source),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM tv),
-    ost AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS o FROM tv GROUP BY source, t),
+    ost AS (SELECT st_all.source, st_all.t, st_all.o FROM st_all JOIN vocab ON st_all.t = vocab.t),
+    ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM ost GROUP BY source),
+    nn AS (SELECT CAST(SUM(o) AS BIGINT) AS N FROM ost),
     grid AS (
       SELECT ns.source, ns.n_s, vocab.t, vocab.c, COALESCE(ost.o, 0) AS o, nn.N
       FROM ns CROSS JOIN vocab CROSS JOIN nn
@@ -153,7 +153,8 @@ def x63_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT source, n_s, t,
-             (CAST(o*N - n_s*c AS DOUBLE) * CAST(o*N - n_s*c AS DOUBLE))
+             ((CAST(o AS DOUBLE) * CAST(N AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(c AS DOUBLE))
+              * (CAST(o AS DOUBLE) * CAST(N AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(c AS DOUBLE)))
                / ((CAST(N AS DOUBLE) * CAST(n_s AS DOUBLE)) * CAST(c AS DOUBLE)) AS x
       FROM grid
     )
@@ -165,10 +166,10 @@ def x63_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x64_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source χ² token-distribution divergence from the corpus
     (operators/pipeline.source_divergence) — the domain-drift monitor,
-    over the deterministic top-30 corpus vocabulary. int64 counts, one
-    fixed-order IEEE multiply/divide per term (d < 2⁵³ so casts are
-    exact), token-sorted left-to-right fold — float math that still
-    hash-matches DuckDB bit for bit."""
+    over the deterministic top-30 corpus vocabulary. int64 counts,
+    double-cast-before-multiply pinned-order IEEE terms (exact casts,
+    no ANSI overflow cliff), token-sorted left-to-right fold — float
+    math that still hash-matches DuckDB bit for bit."""
     docs = load_table(spark, sf_dir, "documents")
     return P.source_divergence(docs, vocab_size=30)
 
@@ -264,7 +265,7 @@ def x66_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH uw AS (
       SELECT DISTINCT user_id AS u,
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+             CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w
       FROM events
     ),
     first AS (SELECT u, MIN(w) AS w0 FROM uw GROUP BY u)
@@ -301,16 +302,18 @@ def x67_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per
     )
     SELECT per.user_id, per.n_events,
-           CASE WHEN sqrt(CAST(mom.U * mom.s2 - mom.s1 * mom.s1 AS DOUBLE)) > 0
-                THEN CAST(per.n_events * mom.U - mom.s1 AS DOUBLE)
-                     / sqrt(CAST(mom.U * mom.s2 - mom.s1 * mom.s1 AS DOUBLE))
-                     * sqrt(CAST(mom.U AS DOUBLE))
+           CASE WHEN sqrt(CAST(mom.U AS DOUBLE) * CAST(mom.s2 AS DOUBLE)
+                          - CAST(mom.s1 AS DOUBLE) * CAST(mom.s1 AS DOUBLE)) > 0
+                THEN (CAST(per.n_events AS DOUBLE) * CAST(mom.U AS DOUBLE) - CAST(mom.s1 AS DOUBLE))
+                     / sqrt(CAST(mom.U AS DOUBLE) * CAST(mom.s2 AS DOUBLE)
+                            - CAST(mom.s1 AS DOUBLE) * CAST(mom.s1 AS DOUBLE))
                 ELSE 0.0 END AS z,
            CAST(CASE WHEN abs(
-                  CASE WHEN sqrt(CAST(mom.U * mom.s2 - mom.s1 * mom.s1 AS DOUBLE)) > 0
-                       THEN CAST(per.n_events * mom.U - mom.s1 AS DOUBLE)
-                            / sqrt(CAST(mom.U * mom.s2 - mom.s1 * mom.s1 AS DOUBLE))
-                            * sqrt(CAST(mom.U AS DOUBLE))
+                  CASE WHEN sqrt(CAST(mom.U AS DOUBLE) * CAST(mom.s2 AS DOUBLE)
+                                 - CAST(mom.s1 AS DOUBLE) * CAST(mom.s1 AS DOUBLE)) > 0
+                       THEN (CAST(per.n_events AS DOUBLE) * CAST(mom.U AS DOUBLE) - CAST(mom.s1 AS DOUBLE))
+                            / sqrt(CAST(mom.U AS DOUBLE) * CAST(mom.s2 AS DOUBLE)
+                                   - CAST(mom.s1 AS DOUBLE) * CAST(mom.s1 AS DOUBLE))
                        ELSE 0.0 END) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM per CROSS JOIN mom
     """,

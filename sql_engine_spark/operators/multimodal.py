@@ -430,6 +430,12 @@ def image_avg_hash(df: DataFrame, grid: int = 8) -> DataFrame:
     mines, so the expensive Python stage runs once and all candidate
     generation/verification stays JVM-side."""
 
+    if grid * grid != 64:
+        # The banding contract is a 64-bit signature in 4 x 16-bit
+        # bands (AHASH_SCHEMA + banded_hamming_pairs); any other grid
+        # would silently hash a corner of the image or crash a task.
+        raise ValueError(f"image_avg_hash requires grid*grid == 64, got grid={grid}")
+
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -439,7 +445,18 @@ def image_avg_hash(df: DataFrame, grid: int = 8) -> DataFrame:
                 raw = bytes(payload)
                 info = media_info(raw)
                 pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
-                w, h = int(info["width"]), int(info["height"])
+                w, h = info["width"], info["height"]
+                if not w or not h or len(pixels) < w * h:
+                    # JPEG/GIF/BMP "decode" is a header sniff that
+                    # returns entropy-coded bytes (documented module
+                    # limit) — hashing those would be garbage, and a
+                    # JPEG with an unparsed SOF has width=None.
+                    raise NotImplementedError(
+                        "image_avg_hash needs a raw-pixel decode with known "
+                        f"dimensions (PNG); got mime={meta.get('mime')!r} "
+                        f"w={w} h={h} n_bytes={len(pixels)}"
+                    )
+                w, h = int(w), int(h)
                 ch = max(1, len(pixels) // max(1, w * h))
                 arr = (
                     np.frombuffer(pixels[: w * h * ch], dtype=np.uint8)

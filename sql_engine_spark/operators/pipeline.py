@@ -1087,37 +1087,45 @@ def source_divergence(
     the per-source fold FIXED-LENGTH no matter the corpus size).
 
     Exactness discipline: all counts are int64; each token's term is
-    d²/(N·n_s·c_t) with d = o·N − n_s·c_t computed in int64 (exact),
-    then ONE fixed-order double multiply/divide per term (d < 2⁵³ so
-    the cast is exact and IEEE ops are deterministic), summed in a
-    token-sorted LEFT-TO-RIGHT fold — bit-identical to the DuckDB
-    oracle despite being float math.
+    d²/(N·n_s·c_t) with d = o·N − n_s·c_t where every factor is cast
+    to double BEFORE multiplying in a pinned order (each factor is
+    < 2⁵³ so the casts are exact and every IEEE op rounds identically
+    on both engines — and no int64 product can overflow ANSI mode at
+    scale), summed in a token-sorted LEFT-TO-RIGHT fold —
+    bit-identical to the DuckDB oracle despite being float math.
 
-    Plan: one explode → three map-side-combinable groupBys (corpus
-    counts → broadcast vocab; per-source totals; per-(source, token)
-    counts) → a sources×vocab broadcast grid (zero counts must
-    contribute their expected mass) → per-source sorted fold. No
-    corpus-sized shuffle beyond the (source, token) rollup.
+    Plan: one explode → ONE corpus-wide (source, token) rollup; the
+    corpus counts, vocab cut, per-source totals, and N all derive
+    from that tiny relation → a sources×vocab broadcast grid (zero
+    counts must contribute their expected mass) → per-source sorted
+    fold. The corpus is scanned and shuffled exactly once.
 
     Output: (source, n_tokens, chi2).
     """
     tok = df.select(F.col(source_col).alias("source"), F.explode(T.tokens(text_col)).alias("t"))
-    corpus = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus-wide aggregation: per-(source, token) counts; corpus
+    # counts, the vocab cut, per-source totals, and N all derive from
+    # this tiny (sources x tokens) relation — the corpus is exploded
+    # and shuffled exactly once.
+    st_all = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("o"))
+    st_all = st_all.localCheckpoint(eager=False)
+    corpus = st_all.groupBy("t").agg(F.sum("o").alias("c"))
     vocab = corpus.orderBy(F.col("c").desc(), F.col("t").asc()).limit(vocab_size)
-    tok_v = tok.join(F.broadcast(vocab.select("t")), "t")
-    n_s = tok_v.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    big_n = tok_v.agg(F.count(F.lit(1)).alias("N"))
-    o_st = tok_v.groupBy("source", "t").agg(F.count(F.lit(1)).alias("o"))
+    o_st = st_all.join(F.broadcast(vocab.select("t")), "t")
+    n_s = o_st.groupBy("source").agg(F.sum("o").alias("n_s"))
+    big_n = o_st.agg(F.sum("o").alias("N"))
     grid = (
         n_s.crossJoin(F.broadcast(vocab))
         .join(o_st, ["source", "t"], "left")
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
         .crossJoin(F.broadcast(big_n))
     )
-    d = (F.col("o") * F.col("N") - F.col("n_s") * F.col("c")).cast("double")
-    den = (
-        F.col("N").cast("double") * F.col("n_s").cast("double")
-    ) * F.col("c").cast("double")
+    # Products AFTER casting each exact-int64 factor to double, pinned
+    # order — exact casts (< 2^53), deterministic IEEE rounding, and
+    # no ANSI int64-overflow cliff when o*N outgrows 2^63 at scale.
+    od, nd, nsd, cd = (F.col(c).cast("double") for c in ("o", "N", "n_s", "c"))
+    d = od * nd - nsd * cd
+    den = (nd * nsd) * cd
     term = (d * d) / den
     per = grid.select("source", "n_s", F.struct(F.col("t"), term.alias("x")).alias("tx"))
     return (

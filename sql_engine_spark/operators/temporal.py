@@ -162,16 +162,20 @@ def retention_cohorts(
     user_col: str = "user_id",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Weekly retention cohorts: cohort = the integer week (days since
-    ``epoch`` div 7 — engine-neutral integer arithmetic, no
-    date_trunc semantics to disagree on) of each user's FIRST event;
-    report distinct active users per (cohort_week, week_offset).
+    """Weekly retention cohorts: cohort = the integer week
+    (FLOOR(days since ``epoch`` / 7) — floor, not truncation, so
+    pre-epoch events land in the right negative week; engine-neutral
+    arithmetic, no date_trunc semantics to disagree on) of each
+    user's FIRST event; report distinct active users per
+    (cohort_week, week_offset).
 
     Two map-side-combinable aggregations (per-user first week, then
     the cohort grid) — the corpus shuffles narrow (user, week) pairs
     only. Output: (cohort_week, week_offset, n_users).
     """
-    wk = (F.datediff(F.to_date(ts_col), F.lit(epoch).cast("date")) / 7).cast("int")
+    wk = F.floor(
+        F.datediff(F.to_date(ts_col), F.lit(epoch).cast("date")) / 7
+    ).cast("int")
     uw = events.select(F.col(user_col).alias("u"), wk.alias("w")).distinct()
     first = uw.groupBy("u").agg(F.min("w").alias("w0"))
     return (
@@ -199,10 +203,13 @@ def event_rate_anomalies(
     Exactness discipline: per-user counts n, the population size U,
     Σn and Σn² are all int64 (order-independent under parallel partial
     aggregation), and the z-score is computed WITHOUT forming the mean
-    — ``z = (n·U − Σn) / sqrt(U·Σn² − (Σn)²) · sqrt(U)`` is algebra
-    on exact integers with a fixed sequence of IEEE double ops (one
-    sqrt per factor, one division), so Spark and DuckDB produce
-    identical bits. The population moments fold in as a broadcast
+    — ``z = (n·U − Σn) / sqrt(U·Σn² − (Σn)²)`` (algebraically exactly
+    (n − μ)/σ_population). The products are taken AFTER casting each
+    exact-int64 factor to double, in a pinned order — every factor is
+    < 2⁵³ so the casts are exact and each IEEE multiply rounds
+    identically on both engines — which also removes the ANSI-mode
+    int64-overflow cliff a 10⁸-user corpus would hit if U·Σn² were
+    formed in integers. The population moments fold in as a broadcast
     1-row cross join — never a driver collect.
 
     Output: (user_id, n_events, z, is_anomaly 0/1), all users.
@@ -213,9 +220,10 @@ def event_rate_anomalies(
         F.sum("n_events").alias("s1"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
     )
-    num = (F.col("n_events") * F.col("U") - F.col("s1")).cast("double")
-    den = F.sqrt((F.col("U") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
-    z = F.when(den > 0, num / den * F.sqrt(F.col("U").cast("double"))).otherwise(F.lit(0.0))
+    ud, s1d, s2d = (F.col(c).cast("double") for c in ("U", "s1", "s2"))
+    num = F.col("n_events").cast("double") * ud - s1d
+    den = F.sqrt(ud * s2d - s1d * s1d)
+    z = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     return (
         per.crossJoin(F.broadcast(mom))
         .withColumn("z", z)

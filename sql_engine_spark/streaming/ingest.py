@@ -97,14 +97,18 @@ def stream_incremental_dedup(
         .start()
     )
     q.awaitTermination()
-    # Only the legitimately-empty case (no batch ever wrote a file)
-    # falls back to an empty frame — a real read failure (corrupt part,
-    # permissions) must SURFACE, not silently report "no duplicates".
-    import os
+    # Only the legitimately-empty case (no batch ever wrote a file —
+    # the path is missing or holds no readable parquet) falls back to
+    # an empty frame. The check goes through Spark's own reader, so it
+    # is filesystem-agnostic (hdfs://, s3a://, local alike); any OTHER
+    # failure (corrupt part, permissions) must SURFACE, not silently
+    # report "no duplicates".
+    from pyspark.errors import AnalysisException
 
-    has_files = os.path.isdir(out_path) and any(
-        f.startswith("__batch_id=") for f in os.listdir(out_path)
-    )
-    if not has_files:
-        return spark.createDataFrame([], _PAIRS_SCHEMA)
-    return spark.read.parquet(out_path).select("id_new", "id_old", "jaccard")
+    try:
+        return spark.read.parquet(out_path).select("id_new", "id_old", "jaccard")
+    except AnalysisException as e:
+        cls = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+            return spark.createDataFrame([], _PAIRS_SCHEMA)
+        raise

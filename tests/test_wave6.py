@@ -397,11 +397,16 @@ def test_event_anomalies_matches_python(events):
     U = len(per)
     s1 = sum(per.values())
     s2 = sum(n * n for n in per.values())
-    den = math.sqrt(float(U * s2 - s1 * s1))
+    den = math.sqrt(float(U) * float(s2) - float(s1) * float(s1))
     got = {r.user_id: (r.n_events, r.z, r.is_anomaly) for r in event_rate_anomalies(events).collect()}
     assert set(got) == set(per)
+    mu = s1 / U
+    sigma = den / U
     for u, n in per.items():
-        z = float(n * U - s1) / den * math.sqrt(float(U)) if den > 0 else 0.0
+        z = (float(n) * float(U) - float(s1)) / den if den > 0 else 0.0
+        # the formula IS (n - mean)/stddev — pin the semantics, not
+        # just self-consistency with the implementation
+        assert z == pytest.approx((n - mu) / sigma, rel=1e-9)
         assert got[u][0] == n
         assert got[u][1] == pytest.approx(z, rel=1e-12)
         assert got[u][2] == (1 if abs(z) > 2.0 else 0)
