@@ -47,6 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # caller-provided session (the driver's) may lack the conf, and
         # it's a runtime SQL conf, so set it here before schema read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→LTZ cast in _normalize_nanos_ts (and every downstream
+        # to_date/window) reads the session time zone; a caller-provided
+        # non-UTC session would shift instants away from the UTC-reading
+        # DuckDB oracle. Runtime SQL conf — pin it with the same
+        # only-for-callers-sessions rationale as nanosAsLong.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     rightsize_shuffle_partitions(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _normalize_nanos_ts(df)

@@ -834,15 +834,26 @@ def chunk_dedup(
     token array (``transform(sequence(...), slice(...))`` — no
     token-level explode; the explode is per-chunk, 1/chunk_tokens of
     the token count). Then exactly two wide shuffles, the floor for
-    exact corpus-wide chunk dedup: (1) the keep-first window
-    partitioned by chunk text — exact string grouping, NOT a 64-bit
-    hash, because at 100 TB (≈ trillions of chunks) birthday
-    collisions on int64 would silently delete unique text; (2) the
-    per-document rebuild groupBy. Both keys are near-uniform (chunk
-    texts, doc ids) so neither shuffle has a hot key; AQE handles the
-    boilerplate-chunk tail. At 100 TB this is strictly cheaper than
-    suffix-array exact-substring dedup (Lee et al. ACL 2022) and is
-    the standard industrial approximation of it.
+    exact corpus-wide chunk dedup: (1) keep-first as a
+    ``groupBy(chunk).agg(min(struct(doc_id, chunk_idx)))`` — a
+    map-side-combinable aggregate, so a boilerplate chunk repeated
+    10⁸ times collapses to one row PER INPUT PARTITION before the
+    shuffle and the reduce side sees ≤ one row per (chunk,
+    partition); the chunk key deliberately never appears in a window
+    (a skewed window partition is one straggler task AQE cannot
+    split) or a join. (Spark executes the struct-buffered min as a
+    SortAggregate — a LOCAL per-partition sort, O(p·log p) on uniform
+    partitions, still partial-aggregating map-side; nothing like the
+    window's per-key straggler.) Exact string grouping, NOT a 64-bit hash,
+    because at 100 TB (≈ trillions of chunks) birthday collisions on
+    int64 would silently delete unique text. (2) the per-document
+    rebuild: the per-chunk winners (each chunk text has exactly one
+    keeper) are unioned with one scan-side marker row per document
+    carrying its total chunk count, and a single groupBy(doc_id)
+    rebuilds the survivors — doc ids are unique-per-row keys, no
+    skew. At 100 TB this is strictly cheaper than suffix-array
+    exact-substring dedup (Lee et al. ACL 2022) and is the standard
+    industrial approximation of it.
 
     Output: (doc_id, n_chunks, n_kept, clean_text); docs whose every
     chunk was seen earlier come back with clean_text = ''.
@@ -858,16 +869,31 @@ def chunk_dedup(
     ch = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
-    w = Window.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
-    marked = ch.withColumn("__rn", F.row_number().over(w))
-    return marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+    # Keep-first = per-chunk min (doc_id, chunk_idx): struct comparison
+    # is lexicographic, identical to ORDER BY doc_id, chunk_idx.
+    winners = ch.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("i"))).alias("f")
+    )
+    kept = winners.select(
+        F.col("f.d").alias(id_col),
+        F.lit(None).cast("int").alias("__nc"),
+        F.col("f.i").alias("chunk_idx"),
+        "chunk",
+    )
+    marker = df.select(
+        F.col(id_col),
+        F.greatest(n_chunks, F.lit(1)).alias("__nc"),
+        F.lit(None).cast("int").alias("chunk_idx"),
+        F.lit(None).cast("string").alias("chunk"),
+    )
+    return marker.unionByName(kept).groupBy(id_col).agg(
+        F.max("__nc").cast("long").alias("n_chunks"),
+        F.count("chunk").alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(F.col("__rn") == 1, F.struct("chunk_idx", "chunk"))
+                        F.when(F.col("chunk").isNotNull(), F.struct("chunk_idx", "chunk"))
                     )
                 ),
                 lambda s: s["chunk"],
@@ -910,7 +936,6 @@ def weighted_priority_sample(
     """
     h = _coin_hash(id_col, PRIORITY_HASH_K)
     wt = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
-    key = F.floor(h / wt).cast("long")
     win = Window.partitionBy(stratum_col).orderBy(
         F.col("sample_key").asc(), F.col(id_col).asc()
     )
@@ -919,8 +944,13 @@ def weighted_priority_sample(
             F.col(id_col),
             F.col(stratum_col),
             wt.alias("weight"),
-            key.alias("sample_key"),
+            h.cast("long").alias("__h"),
         )
+        # TRUE int64 division (`div`), not floor(double /): the double
+        # quotient can round up across an integer boundary once the
+        # weight nears 2^32, and the DuckDB oracle replays integer `//`.
+        .withColumn("sample_key", F.expr("__h div weight"))
+        .drop("__h")
         .withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= k)
     )
@@ -1154,9 +1184,26 @@ def quality_dedup_survivors(
     best copy", not "keep the first crawled copy"). Singleton docs
     keep themselves.
 
-    One CC job over the (tiny) pair graph + one quality scan + one
-    per-component row_number window over the (corpus-sized but narrow)
-    (component, quality, id) triple.
+    One CC job over the (tiny) pair graph + one quality scan + TWO
+    chained hash aggregates over the (corpus-sized but narrow)
+    (component, quality, id) triple — no window, no sort anywhere in
+    the canonicalization (a per-component window partition would be
+    one straggler task AQE cannot split; and any struct-buffered
+    aggregate — ``max_by(struct, struct)``, ``max(struct)`` — silently
+    falls back to SortAggregate because struct buffers aren't
+    UnsafeRow-mutable, re-smuggling the sort in):
+
+    1. ``groupBy(component, q) → (min(id), count)`` — scalar buffers
+       → HashAggregate with map-side combine: a mega dup-component of
+       byte-identical text (routine in boilerplate-heavy crawls) has
+       ONE distinct q and collapses to one row per input partition
+       before the shuffle.
+    2. ``groupBy(component) → (max(q), max_by(cand_id, q), sum)`` —
+       q is a grouping key of step 1, so it is UNIQUE within each
+       component and the scalar ``max_by`` is deterministic (highest
+       q wins; its cand_id is already the min id at that q). Input is
+       the collapsed (component, distinct-q) relation, so this second
+       shuffle moves near-nothing.
 
     Output: (component, keep_doc, keep_quality, n_docs).
     """
@@ -1166,13 +1213,11 @@ def quality_dedup_survivors(
     comp = connected_components(pairs, df, id_col=id_col)
     scored = df.select(F.col(id_col), quality_expr(text_col).alias("q"))
     labeled = comp.join(scored, id_col)
-    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col(id_col).asc())
-    return (
-        labeled.withColumn("__rn", F.row_number().over(w))
-        .groupBy("component")
-        .agg(
-            F.min_by(F.col(id_col), F.col("__rn")).alias("keep_doc"),
-            F.min_by(F.col("q"), F.col("__rn")).alias("keep_quality"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+    per_q = labeled.groupBy("component", "q").agg(
+        F.min(F.col(id_col)).alias("__cand"), F.count(F.lit(1)).alias("__cnt")
+    )
+    return per_q.groupBy("component").agg(
+        F.max_by(F.col("__cand"), F.col("q")).alias("keep_doc"),
+        F.max("q").alias("keep_quality"),
+        F.sum("__cnt").alias("n_docs"),
     )

@@ -12,11 +12,10 @@ operator uses the standard mergeable one-pass sketches Spark ships:
 - **Quantile sketch** (``percentile_approx``) with a configurable
   accuracy/memory knob.
 - **Heavy hitters** via a single MELTED pass: every categorical column
-  explodes to (column, value) rows in one scan, one groupBy counts
-  them all, and a per-column top-1 window picks winners (exact: counts
-  are distributive so partial aggregation keeps reducer state
-  proportional to distinct keys, which is what heavy-hitter columns
-  have few of).
+  explodes to (column, value) rows inside the scan stage, one
+  groupBy(column, value) counts them all (partial aggregation keeps
+  shuffle volume at the SUM of per-column distincts), and a min over
+  (-count, value) structs picks winners — no window, no join.
 
 The profile of a 100 TB table costs exactly TWO scans, independent of
 column count: one for every sketch aggregate, one (melted) for every
@@ -77,40 +76,37 @@ def profile_table(
         )
 
     if categorical_cols:
-        # Categorical columns never touch the sketch scan: group by the
-        # joint (c1, …, ck) tuple — partial aggregation collapses each
-        # partition to its distinct combos, so the shuffle carries at
-        # most min(rows, Π cardinalities) tiny rows — then explode the
-        # JOINT COUNTS (not the data) to (column, value, count) rows.
-        # From that combo relation, per-column distinct counts are
-        # EXACT (count of marginal rows — better than the HLL estimate
-        # the sketch scan would give), n_rows is the count sum, and the
-        # heavy hitter is a min_by over (-count, value) — no window
-        # sort, no join. A melted per-row explode would push k× the
-        # rows through the scan; here the explode sees only combos.
-        # (For very-high-cardinality columns both shapes degrade the
-        # same way: shuffle ~ distinct values; heavy-hitter columns by
-        # definition have few.)
-        joint = df.groupBy(
-            *[F.col(c).cast("string").alias(f"__c_{c}") for c in categorical_cols]
-        ).agg(F.count(F.lit(1)).alias("__cnt"))
+        # Categorical columns never touch the sketch scan: MELT each
+        # row to k (column, value) pairs scan-side, then ONE
+        # groupBy(column, value). Partial aggregation collapses each
+        # input partition to its per-column distincts before the
+        # shuffle, so shuffle volume is bounded by the SUM of
+        # per-column cardinalities — not the PRODUCT a joint
+        # (c1, …, ck) tuple-group would carry, which regresses badly
+        # when several independent mid-cardinality columns multiply
+        # out (ADVICE r3). The k× melted rows exist only inside the
+        # scan stage and never shuffle. From this (column, value,
+        # count) relation, per-column distinct counts are EXACT
+        # (marginal row count — better than the HLL estimate the
+        # sketch scan would give), n_rows is the count sum, and the
+        # heavy hitter is a min over (-count, value) structs — no
+        # window sort, no join.
         counts = (
-            joint.select(
+            df.select(
                 F.explode(
                     F.array(
                         *[
                             F.struct(
                                 F.lit(c).alias("column"),
-                                F.col(f"__c_{c}").alias("top_value"),
+                                F.col(c).cast("string").alias("top_value"),
                             )
                             for c in categorical_cols
                         ]
                     )
-                ).alias("kv"),
-                "__cnt",
+                ).alias("kv")
             )
             .groupBy("kv.column", "kv.top_value")
-            .agg(F.sum("__cnt").alias("top_count"))
+            .agg(F.count(F.lit(1)).alias("top_count"))
         )
         # NULL handling matches COUNT(DISTINCT col)/mode semantics: the
         # NULL group counts toward n_rows but is excluded from the

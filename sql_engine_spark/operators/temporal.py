@@ -121,10 +121,17 @@ def event_funnel(
     sorted-array left-to-right ``F.aggregate`` fold — a scan-stage
     expression, no window cascade, no per-step self-joins (the classic
     k-way funnel join would be k shuffles and explode on power users).
-    Per-user state is one int; a pathological user's event list is
-    bounded by their own event count (AQE skew-split applies). The
-    deterministic (ts, id) sort makes the result engine-exact, so this
-    carries a full DuckDB oracle despite being an ordered-walk
+    Skew honesty: AQE does NOT split skewed aggregation partitions
+    (its skew mitigation applies to join sides only), so one user's
+    whole event list materializes in one task — the real bound is the
+    per-user event count, which product telemetry keeps at 10³–10⁵
+    (vs 10⁹+ rows/key where skew handling matters). For bot-scale
+    users, the walk composes as a monoid — each locally-sorted event
+    run reduces to a (k+1)-entry stage-transition map and maps
+    compose associatively — at the price of a custom ordered-partial
+    aggregate; the collect_list shape is the oracle-checkable default.
+    The deterministic (ts, id) sort makes the result engine-exact, so
+    this carries a full DuckDB oracle despite being an ordered-walk
     computation.
 
     Output: (stage, n_users), stage = furthest step index reached.

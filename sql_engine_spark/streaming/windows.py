@@ -40,16 +40,24 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     read-as-long + exact-divide workaround; TIMESTAMP(MICROS) reads
     natively. One footer read at stream start — the schema-bootstrap
     step any production file-source stream does once (file sources
-    cannot infer schema mid-stream)."""
-    try:
-        import pyarrow.parquet as pq
+    cannot infer schema mid-stream).
 
+    Failure policy: only a MISSING FILE (or a footer without ``ts``)
+    answers False — those genuinely mean "no nanos column to work
+    around". A broken/absent pyarrow must NOT silently answer False:
+    the session-wide ``nanosAsLong=true`` conf would then surface a
+    nanos corpus as long while the stream schema says timestamp,
+    failing at runtime far from the cause — so import errors
+    propagate to the caller, naming the real problem."""
+    import pyarrow.parquet as pq
+
+    try:
         t = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).schema_arrow.field("ts").type
-        # prefix match: tz-annotated nanos ("timestamp[ns, tz=UTC]")
-        # needs the same long-read workaround as plain nanos.
-        return str(t).startswith("timestamp[ns")
-    except Exception:
+    except (FileNotFoundError, OSError, KeyError):
         return False
+    # prefix match: tz-annotated nanos ("timestamp[ns, tz=UTC]")
+    # needs the same long-read workaround as plain nanos.
+    return str(t).startswith("timestamp[ns")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +74,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-micro-batch overhead on a local box, and the partition count
     # is frozen into the query's checkpoint at start.
     rightsize_shuffle_partitions(spark)
+    # Same UTC pin as catalog.load_table("events"): window starts are
+    # formatted as wall-clock strings and watermark comparisons read
+    # the session zone — a caller-provided non-UTC session would drift
+    # from the batch/DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos = _events_ts_is_nanos(sf_dir)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_TS)

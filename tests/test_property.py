@@ -384,3 +384,31 @@ def test_event_funnel_matches_python_random(spark, evs):
         exp[stg] += 1
     got = {r.stage: r.n_users for r in event_funnel(df).collect()}
     assert got == dict(exp)
+
+
+@given(
+    st.lists(st.sampled_from(["view", "click", "purchase", "other"]), max_size=40),
+    st.integers(min_value=0, max_value=40),
+)
+def test_funnel_transition_maps_compose(seq, cut):
+    """Backs the monoid claim in event_funnel's docstring (VERDICT r3
+    #6): a funnel walk over any event run reduces to a (k+1)-entry
+    stage-transition map, and map composition over an arbitrary split
+    of the run equals the sequential walk — the property a custom
+    ordered-partial aggregate for bot-scale users would rely on."""
+    steps = ("view", "click", "purchase")
+
+    def walk(stage, events):
+        for t in events:
+            if stage < len(steps) and t == steps[stage]:
+                stage += 1
+        return stage
+
+    def tmap(events):  # run → stage-transition map
+        return tuple(walk(s, events) for s in range(len(steps) + 1))
+
+    cut = min(cut, len(seq))
+    left, right = tmap(seq[:cut]), tmap(seq[cut:])
+    composed = tuple(right[left[s]] for s in range(len(steps) + 1))
+    assert composed == tmap(seq)
+    assert composed[0] == walk(0, seq)

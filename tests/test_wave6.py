@@ -308,6 +308,26 @@ def test_quality_dedup_keeps_best_member(docs):
     assert multi  # corpus has planted near-dups
 
 
+def test_quality_dedup_single_aggregate_no_window(docs):
+    # VERDICT r3 #3: the per-component keep-best must be map-side-
+    # combinable HASH aggregation — no Window, and no SortAggregate
+    # smuggling the sort back in (struct-buffered max_by falls back to
+    # SortAggregate; the two-stage scalar shape must not). A mega
+    # dup-component would be one unsplittable window partition.
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators.pipeline import quality_dedup_survivors
+
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    plan = (
+        quality_dedup_survivors(docs, pairs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    # both canonicalization aggregates present, partial+final each
+    assert plan.count("HashAggregate(keys=[component") == 4, plan
+
+
 # --- x66 funnel / x67 retention --------------------------------------
 
 
