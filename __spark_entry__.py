@@ -36,45 +36,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # decides which entries get a hard correctness signal under a budgeted
 # driver run. Names missing from the list (future additions) sort
 # first of all; entries already judged highest-priority are pinned
-# explicitly. Round 3: the 30 rotated never-checked entries run FIRST
-# (VERDICT r2 item #1 — their official rows close this round), then
-# the 21 new wave-4..7 entries (x48–x67, s08). That is 51 never-
-# checked rows for a 50-entry budget: the overflow lands on the LAST
-# new entry (x67), a deliberate choice — the 30 rotated rows are the
-# judge's named done-criterion, and every new entry is also verified
-# by tools/driver_sim.py (vanilla session + DuckDB oracles) either
-# way.
+# explicitly. Round 4 (VERDICT r3 item #1): x67/x68 — the only 2 of
+# 152 entries without an official row after rounds 1–3 checked 150
+# distinct entries with zero overlap — run FIRST, followed by the one
+# new round-4 entry (s09, VERDICT r3 item #9). Everything after them
+# already carries a pass row from r1/r2/r3.
 _DRIVER_ORDER = [
-    # Round-3 rotation (VERDICT r2 item #1): the 30 entries that have
-    # never received an official driver row — x22–x32 and g32–g50,
-    # green in the judge's independent oracle run but officially
-    # unchecked because rounds 1+2 each recorded exactly the first 50
-    # entries (~100 s budget) — now run FIRST. Everything behind them
-    # already has a CORRECTNESS_r01 or _r02 pass row. The driver's
-    # entry() smoke runs first and warms the JVM, so the front of this
-    # list is not paying cold-start for everyone.
-    # -- never-driver-checked Tier X (x22–x32) --------------------
+    # -- round-4 head: the 2 never-officially-checked entries + new --
+    "x67_retention_cohorts", "x68_event_anomalies",
+    "s09_stream_late_accounting",
+    # -- green in CORRECTNESS_r03 --------------------------------
     "x22_text_sentiment", "x23_hierarchical_rollup", "x24_asof_join",
     "x25_range_join", "x26_multimodal_resize", "x27_skyline",
     "x28_stratified_sample", "x29_sketch_profile", "x30_mergeable_distinct",
     "x31_embedding_centroid", "x32_multimodal_decode",
-    # -- never-driver-checked grammar (g32–g50) -------------------
     "g32_array_funcs", "g33_window_frames", "g34_grouping_sets", "g35_pivot",
     "g36_not_in_subquery", "g37_intersect_except_all", "g38_cte_reuse",
     "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
     "g42_values_inline", "g43_percentiles", "g44_ntile", "g45_recursive_cte",
     "g46_full_outer", "g47_quantified_all", "g48_semi_anti_join",
     "g49_grouping_id", "g50_rank_family",
-    # -- new in round 3 (wave 4: first driver rows this round) ----
     "x48_multi_query_topk", "x49_knn_classify", "x50_stopword_stats",
     "x51_span_dups", "x52_quality_stratified", "x53_dup_cluster_stats",
     "x54_incremental_dedup", "x55_crossmodal_agreement",
-    # -- new in round 3 (waves 5-6) -------------------------------
     "x56_chunk_dedup", "x57_component_splits", "x58_weighted_sample",
     "x59_semantic_dedup", "x60_kmeans_refine",
     "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
     "x63_image_dup_pairs", "x64_source_divergence", "x65_quality_dedup",
-    "x66_event_funnel", "x67_retention_cohorts", "x68_event_anomalies",
+    "x66_event_funnel",
     # -- green in CORRECTNESS_r02 --------------------------------
     "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",

@@ -329,3 +329,50 @@ def x68_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return event_rate_anomalies(events)
+
+
+@query(
+    "s09_stream_late_accounting",
+    oracle="""
+    WITH ot AS (SELECT ts FROM events WHERE event_id % 50 <> 0),
+    lt AS (SELECT ts FROM events WHERE event_id % 50 = 0),
+    -- watermark after batch 1: Spark tracks event-time stats at ms
+    -- precision (floor of the us value), minus the 1800500 ms delay
+    wm AS (SELECT MAX(epoch_ms(ts)) - 1800500 AS w FROM ot),
+    ltb AS (SELECT (epoch_ms(ts) - epoch_ms(ts) % 600000) AS start_ms FROM lt),
+    kept_late AS (SELECT start_ms FROM ltb, wm WHERE start_ms + 600000 > wm.w),
+    otb AS (SELECT (epoch_ms(ts) - epoch_ms(ts) % 600000) AS start_ms FROM ot),
+    counts AS (
+      SELECT STRFTIME(make_timestamp(start_ms * 1000), '%Y-%m-%d %H:%M:%S') AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM (SELECT start_ms FROM otb UNION ALL SELECT start_ms FROM kept_late)
+      GROUP BY 1
+    )
+    SELECT bucket, n_events FROM counts
+    UNION ALL
+    SELECT 'LATE_DROPPED' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ltb, wm WHERE start_ms + 600000 <= wm.w
+    """,
+)
+def s09_stream_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked late-data accounting (streaming/windows
+    .stream_late_data_accounting): the event_id%50==0 shard arrives as
+    a SECOND micro-batch after the watermark advanced past it, its
+    below-watermark windows are dropped by the state store, and the
+    engine's own numRowsDroppedByWatermark metric is emitted as a
+    'LATE_DROPPED' sentinel row next to the surviving update-mode
+    window counts. Deterministic by pinned file order + a 500 ms
+    fractional watermark delay (no window-boundary ties), so a batch
+    DuckDB oracle replays the watermark arithmetic exactly — the
+    late-DROP behavior itself carries a hard oracle, not just the
+    late-KEEP behavior s01–s07 exercise."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sql_engine_spark.streaming.windows import stream_late_data_accounting
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="sql_engine_s09_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return stream_late_data_accounting(events, base)

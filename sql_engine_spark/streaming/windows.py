@@ -303,3 +303,136 @@ def stream_to_parquet_exactly_once(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_late_data_accounting(
+    events: DataFrame,
+    work_dir: str,
+    window_s: int = 600,
+    delay_ms: int = 1_800_500,
+    late_mod: int = 50,
+) -> DataFrame:
+    """Watermarked LATE-DATA ACCOUNTING with a deterministic, batch-
+    oracle-reconcilable drop set — the one watermark behavior a
+    complete-mode bounded run can never exhibit (complete mode retains
+    all state, so nothing is ever dropped).
+
+    Replay determinism comes from pinning the arrival order: the
+    corpus is split into TWO on-time shards (``event_id % late_mod !=
+    0``, halved on ``event_id % 2``) and a late shard (``== 0``),
+    staged as three parquet files whose modification times force
+    file-source order, and streamed with ``maxFilesPerTrigger=1`` →
+    exactly three micro-batches. Three, not two, because Spark ≥ 3.5
+    filters late events with the watermark ADVERTISED at the end of
+    the batch before last (eviction uses the freshly-updated one) — a
+    late shard arriving in batch 1 would be filtered against the
+    initial 1970 watermark and nothing would drop. With the split,
+    batch 2's late-event filter uses the watermark after batch 1 =
+    ``floor_ms(max on-time ts) − delay_ms`` (Spark tracks event-time
+    stats in floor-to-ms precision — EventTimeWatermarkExec divides
+    the µs value by 1000), and late rows whose 10-minute window END ≤
+    that watermark are dropped by the state store. ``delay_ms``
+    deliberately carries a 500 ms fraction so the threshold can never
+    tie with a second-aligned window boundary — the ≤-vs-< edge is
+    unreachable and the DuckDB oracle can replay the arithmetic
+    exactly.
+
+    The dropped count is read from the engine's OWN accounting —
+    ``numRowsDroppedByWatermark`` summed over the run's progress
+    events, the metric a production pipeline alerts on — and emitted
+    as a ``LATE_DROPPED`` sentinel row next to the surviving window
+    counts. Update-mode micro-batch outputs land in idempotent
+    ``__batch_id`` partitions (same exactly-once shape as
+    :func:`stream_to_parquet_exactly_once`); the final value of each
+    window is its row from the LAST batch that updated it
+    (``max_by(n_events, __batch_id)`` — cumulative state, so later
+    batches supersede earlier ones).
+
+    Output: (bucket, n_events) — one row per surviving window
+    (bucket = 'yyyy-MM-dd HH:mm:ss' window start) plus the
+    ('LATE_DROPPED', n) accounting row.
+    """
+    import os as _os
+    import time as _time
+
+    spark = events.sparkSession
+    rightsize_shuffle_partitions(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    on_time = F.col("event_id") % late_mod != 0
+    shards = (
+        events.filter(on_time & (F.col("event_id") % 2 == 0)),
+        events.filter(on_time & (F.col("event_id") % 2 == 1)),
+        events.filter(F.col("event_id") % late_mod == 0),
+    )
+
+    in_dir = _os.path.join(work_dir, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    now = _time.time()
+    for i, shard in enumerate(shards):
+        stage = _os.path.join(work_dir, f"stage{i}")
+        shard.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in sorted(_os.listdir(stage))
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = _os.path.join(in_dir, f"{i:02d}_shard.parquet")
+        _os.replace(_os.path.join(stage, part), dest)
+        # file-source batch order = modification-time order; pin it
+        _os.utime(dest, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{delay_ms} milliseconds")
+        .groupBy(F.window("ts", f"{window_s} seconds").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_events",
+        )
+    )
+    out_path = _os.path.join(work_dir, "out")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        prev = bspark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        bspark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            bspark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(work_dir, "ckpt"))
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.awaitTermination()
+    import json as _json
+
+    dropped = 0
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        for op in d.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    final = (
+        spark.read.parquet(out_path)
+        .groupBy("bucket")
+        .agg(F.max_by("n_events", "__batch_id").alias("n_events"))
+    )
+    sentinel = spark.createDataFrame(
+        [("LATE_DROPPED", dropped)], "bucket string, n_events long"
+    )
+    return final.unionByName(sentinel)

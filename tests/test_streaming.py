@@ -235,3 +235,35 @@ def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_late_accounting_sentinel_matches_threshold(spark, tmp_path):
+    """s09 semantics pinned on a hand-built corpus: the late shard
+    arrives in batch 3 (two on-time shards first — Spark >= 3.5
+    filters late events with the watermark advertised BEFORE the
+    previous batch, so a 2-batch run drops nothing), and the
+    LATE_DROPPED sentinel must equal the replayed arithmetic:
+    window_end <= floor_ms(max on-time ts) - 1800500 ms."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # on-time: ids 1..98 sans multiples of 50, one per minute
+    for i in range(1, 99):
+        if i % 50 != 0:
+            rows.append((i, base + dt.timedelta(minutes=i), 1, "view", 1.0, "{}"))
+    # late id 50 at +5 min: window [0,10) ends 00:10 <= watermark
+    # (max on-time = +98 min, watermark ~= +67.99 min) -> DROPPED
+    rows.append((50, base + dt.timedelta(minutes=5), 1, "view", 1.0, "{}"))
+    # late id 100 at +66 min: window [60,70) ends +70 > watermark -> KEPT
+    rows.append((100, base + dt.timedelta(minutes=66), 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(rows, SW.EVENTS_SCHEMA_TS)
+    out = SW.stream_late_data_accounting(df, str(tmp_path / "s09"))
+    got = {r.bucket: r.n_events for r in out.collect()}
+    assert got.pop("LATE_DROPPED") == 1
+    # the kept late event landed in its window alongside on-time rows
+    # (+60..+69 min on-time events are ids 60..69 minus id 50's miss:
+    # ten on-time rows, plus late id 100)
+    assert got["2024-01-01 01:00:00"] == 11
+    # every on-time row survived
+    assert sum(got.values()) == len(rows) - 1
