@@ -13,6 +13,16 @@ all pure Python):
   :func:`media_info`; payload passes through entropy-coded.
 - **video/***: the one remaining ``NotImplementedError`` — a real
   frame decoder needs an AV library.
+
+Poison-payload policy (VERDICT r3 #5): every decode-touching stage
+takes ``strict``. ``strict=True`` (the default the oracle-checked
+entries use — the synthetic corpus is 100% self-encoded, so an error
+there means an engine bug and MUST surface) raises, failing the task.
+``strict=False`` is the 100 TB production default: an undecodable blob
+is QUARANTINED — its row is emitted with a non-null ``error`` column
+and null features — because on a real multimodal crawl one corrupt
+payload would otherwise fail its task 4× and kill the whole job. The
+caller filters ``error IS NULL`` (pair-miners do it internally).
 """
 
 from __future__ import annotations
@@ -206,6 +216,14 @@ def decode_media(payload: bytes, mime: str) -> bytes:
     return payload  # unknown mime: opaque passthrough
 
 
+def _maybe_error_schema(schema: StructType, strict: bool) -> StructType:
+    """Quarantine-mode output schema: the operator's schema plus a
+    nullable ``error`` string (null on healthy rows)."""
+    if strict:
+        return schema
+    return StructType([*schema.fields, StructField("error", StringType())])
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -216,7 +234,9 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def frame_sample(df: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:
+def frame_sample(
+    df: DataFrame, frame_size: int = 64, every_n: int = 4, strict: bool = True
+) -> DataFrame:
     """Frame sampling over binary payloads via ``mapInPandas``: each
     payload is treated as a sequence of fixed-size frames (standing in
     for video frames — a real decoder would come from
@@ -224,16 +244,29 @@ def frame_sample(df: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataF
     own row. One input row fans out to many output rows inside the
     Arrow batch — the exact shape a video→frames exploder needs; at
     scale the output is repartitioned by downstream keys, and payload
-    bytes never pass through the driver."""
+    bytes never pass through the driver. ``strict=False`` quarantines
+    undecodable payloads as single (doc_id, error) rows (module
+    docstring) instead of failing the task."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids: list[int] = []
-            idxs: list[int] = []
-            sizes: list[int] = []
-            hashes: list[str] = []
+            idxs: list[int | None] = []
+            sizes: list[int | None] = []
+            hashes: list[str | None] = []
+            errs: list[str | None] = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                data = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
+                try:
+                    data = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if strict:
+                        raise
+                    ids.append(int(doc_id))
+                    idxs.append(None)
+                    sizes.append(None)
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+                    continue
                 n_frames = (len(data) + frame_size - 1) // frame_size
                 for i in range(0, n_frames, every_n):
                     frame = data[i * frame_size : (i + 1) * frame_size]
@@ -241,16 +274,18 @@ def frame_sample(df: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataF
                     idxs.append(i)
                     sizes.append(len(frame))
                     hashes.append(hashlib.sha256(frame).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int64"),
-                    "frame_bytes": pd.Series(sizes, dtype="int64"),
-                    "frame_sha256": pd.Series(hashes, dtype="object"),
-                }
-            )
+                    errs.append(None)
+            cols = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="Int64"),
+                "frame_bytes": pd.Series(sizes, dtype="Int64"),
+                "frame_sha256": pd.Series(hashes, dtype="object"),
+            }
+            if not strict:
+                cols["error"] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+    return df.mapInPandas(_sample, schema=_maybe_error_schema(FRAME_SCHEMA, strict))
 
 
 RESIZED_SCHEMA = StructType(
@@ -264,7 +299,9 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, strict: bool = True
+) -> DataFrame:
     """Image-resize plumbing via ``mapInPandas``: decode → resize →
     re-emit a fixed-size payload summary. The geometric resize itself
     needs an image library (Pillow) and is stubbed in
@@ -272,7 +309,8 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
     "resize" is a deterministic truncate/cycle of the payload to
     width·height bytes, so batch shape, schema, and determinism are
     fully exercised. Swap the inner function for a Pillow call and
-    nothing else changes."""
+    nothing else changes. ``strict=False`` quarantines undecodable
+    payloads (module docstring) instead of failing the task."""
     target = width * height
 
     def _resize_bytes(data: bytes) -> bytes:
@@ -283,26 +321,42 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "width": [], "height": [], "resized_bytes": [], "resized_sha256": []}
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "resized_bytes": [], "resized_sha256": [], "error": [],
+            }
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                data = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
+                try:
+                    data = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if strict:
+                        raise
+                    out["doc_id"].append(int(doc_id))
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["resized_bytes"].append(None)
+                    out["resized_sha256"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+                    continue
                 r = _resize_bytes(data)
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(width)
                 out["height"].append(height)
                 out["resized_bytes"].append(len(r))
                 out["resized_sha256"].append(hashlib.sha256(r).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "width": pd.Series(out["width"], dtype="int32"),
-                    "height": pd.Series(out["height"], dtype="int32"),
-                    "resized_bytes": pd.Series(out["resized_bytes"], dtype="int64"),
-                    "resized_sha256": pd.Series(out["resized_sha256"], dtype="object"),
-                }
-            )
+                out["error"].append(None)
+            cols = {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="Int32"),
+                "height": pd.Series(out["height"], dtype="Int32"),
+                "resized_bytes": pd.Series(out["resized_bytes"], dtype="Int64"),
+                "resized_sha256": pd.Series(out["resized_sha256"], dtype="object"),
+            }
+            if not strict:
+                cols["error"] = pd.Series(out["error"], dtype="object")
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    return df.mapInPandas(_resize, schema=_maybe_error_schema(RESIZED_SCHEMA, strict))
 
 
 PAYLOAD_SCHEMA = StructType(
@@ -355,54 +409,86 @@ def encode_text_as_png(
     return df.mapInPandas(_enc, schema=PAYLOAD_SCHEMA)
 
 
-def image_stats(df: DataFrame) -> DataFrame:
+def image_stats(df: DataFrame, strict: bool = True) -> DataFrame:
     """REAL image decode stage: header-sniff dimensions
     (:func:`media_info`), decode to raw pixels (:func:`decode_media` —
     full inflate+unfilter for PNG), and emit numeric facts
     (dimensions, pixel byte count, pixel sum). The numbers are
     recomputable from the source text by the SQL oracle, which makes
-    the whole encode→decode pipeline hash-checkable."""
+    the whole encode→decode pipeline hash-checkable. ``strict=False``
+    quarantines undecodable payloads (module docstring) instead of
+    failing the task."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "n_pixel_bytes", "pixel_sum")}
+            errs: list[str | None] = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 raw = bytes(payload)
-                info = media_info(raw)
-                pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
+                try:
+                    info = media_info(raw)
+                    pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if strict:
+                        raise
+                    out["doc_id"].append(int(doc_id))
+                    for k in ("width", "height", "n_pixel_bytes", "pixel_sum"):
+                        out[k].append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+                    continue
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(info["width"])
                 out["height"].append(info["height"])
                 out["n_pixel_bytes"].append(len(pixels))
                 out["pixel_sum"].append(sum(pixels))
-            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+                errs.append(None)
+            cols = {k: pd.Series(v, dtype="int64" if strict else "Int64") for k, v in out.items()}
+            if not strict:
+                cols["error"] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+    return df.mapInPandas(_stats, schema=_maybe_error_schema(IMAGE_STATS_SCHEMA, strict))
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, strict: bool = True) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow-batched, one Python process per task, zero row-at-a-time
     overhead. Output is a narrow typed frame (id, byte_len, first_byte,
     sha256) — the shape a real image-embedding or EXIF extractor
-    produces."""
+    produces. ``strict=False`` quarantines undecodable payloads
+    (module docstring) instead of failing the task."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                decode_media(bytes(p), m.get("mime", "application/octet-stream"))
-                for p, m in zip(pdf["payload"], pdf["meta"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": pd.Series([len(p) for p in payloads], dtype="int64"),
-                    "first_byte": pd.Series([p[0] if len(p) else -1 for p in payloads], dtype="int32"),
-                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
-                }
-            )
+            out = {"doc_id": [], "byte_len": [], "first_byte": [], "sha256": [], "error": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                try:
+                    p = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if strict:
+                        raise
+                    out["doc_id"].append(int(doc_id))
+                    out["byte_len"].append(None)
+                    out["first_byte"].append(None)
+                    out["sha256"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+                    continue
+                out["doc_id"].append(int(doc_id))
+                out["byte_len"].append(len(p))
+                out["first_byte"].append(p[0] if len(p) else -1)
+                out["sha256"].append(hashlib.sha256(p).hexdigest())
+                out["error"].append(None)
+            cols = {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "byte_len": pd.Series(out["byte_len"], dtype="Int64"),
+                "first_byte": pd.Series(out["first_byte"], dtype="Int32"),
+                "sha256": pd.Series(out["sha256"], dtype="object"),
+            }
+            if not strict:
+                cols["error"] = pd.Series(out["error"], dtype="object")
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(_extract, schema=_maybe_error_schema(FEATURE_SCHEMA, strict))
 
 
 AHASH_SCHEMA = StructType(
@@ -416,7 +502,7 @@ AHASH_SCHEMA = StructType(
 )
 
 
-def image_avg_hash(df: DataFrame, grid: int = 8) -> DataFrame:
+def image_avg_hash(df: DataFrame, grid: int = 8, strict: bool = True) -> DataFrame:
     """64-bit average hash (aHash) per image — the classic perceptual
     fingerprint: decode to pixels, collapse channels to grayscale,
     block-average onto a ``grid``×``grid`` lattice (index-mapped
@@ -428,7 +514,9 @@ def image_avg_hash(df: DataFrame, grid: int = 8) -> DataFrame:
     Emitted directly as 4 × 16-bit bands (ints) — the exact signature
     shape :func:`~sql_engine_spark.operators.dedup.banded_hamming_pairs`
     mines, so the expensive Python stage runs once and all candidate
-    generation/verification stays JVM-side."""
+    generation/verification stays JVM-side. ``strict=False``
+    quarantines undecodable/unsupported payloads as (id, error) rows
+    with null bands (module docstring) instead of failing the task."""
 
     if grid * grid != 64:
         # The banding contract is a 64-bit signature in 4 x 16-bit
@@ -441,21 +529,31 @@ def image_avg_hash(df: DataFrame, grid: int = 8) -> DataFrame:
 
         for pdf in batches:
             out = {k: [] for k in ("id", "band0", "band1", "band2", "band3")}
+            errs: list[str | None] = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 raw = bytes(payload)
-                info = media_info(raw)
-                pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
-                w, h = info["width"], info["height"]
-                if not w or not h or len(pixels) < w * h:
-                    # JPEG/GIF/BMP "decode" is a header sniff that
-                    # returns entropy-coded bytes (documented module
-                    # limit) — hashing those would be garbage, and a
-                    # JPEG with an unparsed SOF has width=None.
-                    raise NotImplementedError(
-                        "image_avg_hash needs a raw-pixel decode with known "
-                        f"dimensions (PNG); got mime={meta.get('mime')!r} "
-                        f"w={w} h={h} n_bytes={len(pixels)}"
-                    )
+                try:
+                    info = media_info(raw)
+                    pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
+                    w, h = info["width"], info["height"]
+                    if not w or not h or len(pixels) < w * h:
+                        # JPEG/GIF/BMP "decode" is a header sniff that
+                        # returns entropy-coded bytes (documented module
+                        # limit) — hashing those would be garbage, and a
+                        # JPEG with an unparsed SOF has width=None.
+                        raise NotImplementedError(
+                            "image_avg_hash needs a raw-pixel decode with known "
+                            f"dimensions (PNG); got mime={meta.get('mime')!r} "
+                            f"w={w} h={h} n_bytes={len(pixels)}"
+                        )
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if strict:
+                        raise
+                    out["id"].append(int(doc_id))
+                    for b in range(4):
+                        out[f"band{b}"].append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+                    continue
                 w, h = int(w), int(h)
                 ch = max(1, len(pixels) // max(1, w * h))
                 arr = (
@@ -478,18 +576,29 @@ def image_avg_hash(df: DataFrame, grid: int = 8) -> DataFrame:
                         if bits[b * 16 + off]:
                             val |= 1 << off
                     out[f"band{b}"].append(val)
-            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+                errs.append(None)
+            cols = {k: pd.Series(v, dtype="int64" if strict else "Int64") for k, v in out.items()}
+            if not strict:
+                cols["error"] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(_hash, schema=AHASH_SCHEMA)
+    return df.mapInPandas(_hash, schema=_maybe_error_schema(AHASH_SCHEMA, strict))
 
 
-def image_dup_pairs(df: DataFrame, max_hamming: int = 3, grid: int = 8) -> DataFrame:
+def image_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, grid: int = 8, strict: bool = True
+) -> DataFrame:
     """Perceptual image near-dup mining: aHash signatures → banded
     hamming join (shared with SimHash — exact recall for hamming <
     4 by pigeonhole, the same LSH guarantee). The decode+hash Python
     stage is O(corpus) mapInPandas; candidates and the exact hamming
-    verify are pure JVM expressions keyed on 16-bit ints. Output:
-    (id_a, id_b, hamming), id_a < id_b."""
+    verify are pure JVM expressions keyed on 16-bit ints. With
+    ``strict=False`` quarantined rows (null bands) are filtered before
+    the join — a poison payload costs its own pairs, never the job.
+    Output: (id_a, id_b, hamming), id_a < id_b."""
     from sql_engine_spark.operators.dedup import banded_hamming_pairs
 
-    return banded_hamming_pairs(image_avg_hash(df, grid), max_hamming)
+    sigs = image_avg_hash(df, grid, strict=strict)
+    if not strict:
+        sigs = sigs.filter(F.col("error").isNull()).drop("error")
+    return banded_hamming_pairs(sigs, max_hamming)

@@ -389,3 +389,59 @@ def test_glob_backtick_does_not_arm_later_literal():
     q2 = 'SELECT `a@b` FROM t WHERE `c$d` == 1'
     out2 = normalize_query(q2)
     assert "`a@b`" in out2 and "`c$d`" in out2
+
+
+def test_multimodal_quarantine_poison_payloads(spark):
+    """VERDICT r3 #5: with strict=False one corrupt blob must NOT kill
+    the job — every decode-touching stage (the x16/x26/x32/x63 code
+    paths) completes, flags the poison row with a non-null `error`,
+    and leaves healthy rows bit-identical to strict mode. strict=True
+    (the oracle-checked default) must still raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from sql_engine_spark.operators.multimodal import (
+        encode_text_as_png,
+        extract_features,
+        frame_sample,
+        image_avg_hash,
+        image_dup_pairs,
+        image_stats,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    good = encode_text_as_png(docs)
+    # poison: claims image/png mime but carries garbage bytes
+    bad = spark.createDataFrame([(99,)], "doc_id long").select(
+        "doc_id",
+        F.encode(F.lit("NOT A PNG AT ALL"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("mime"), F.lit("image/png")).alias("meta"),
+    )
+    mixed = good.unionByName(bad)
+
+    # x32 path (image_stats), x16 path (extract_features), x26 path
+    # (resize_images), frame path (frame_sample): all complete with
+    # exactly one flagged row and all healthy rows intact.
+    for op in (image_stats, extract_features, resize_images, frame_sample):
+        out = op(mixed, strict=False).collect()
+        flagged = [r for r in out if r.error is not None]
+        assert [r.doc_id for r in flagged] == [99], op.__name__
+        assert all(r.error is None for r in out if r.doc_id != 99), op.__name__
+        healthy_ids = {r.doc_id for r in out if r.doc_id != 99}
+        assert healthy_ids == {1, 2, 3}, op.__name__
+        # strict mode still surfaces the poison as a task failure
+        with _pytest.raises(PythonException):
+            op(mixed, strict=True).collect()
+
+    # x63 path: signatures flag the poison row; the pair miner filters
+    # it and still finds the planted identical-text image pair.
+    sigs = {r.id: r for r in image_avg_hash(mixed, strict=False).collect()}
+    assert sigs[99].error is not None and sigs[99].band0 is None
+    pairs = {(r.id_a, r.id_b) for r in image_dup_pairs(mixed, strict=False).collect()}
+    assert (1, 2) in pairs
+    assert all(99 not in p for p in pairs)
