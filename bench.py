@@ -76,6 +76,16 @@ BENCH_QUERIES = [
     "s01_stream_tumbling",
 ]
 
+# Per-query measured-run overrides (VERDICT r3 item 8): queries whose
+# driver medians sat just outside their target inside the documented
+# ±30% box variance get n=5 so BENCH_DETAIL's spread brackets the
+# median instead of leaving it to a 3-sample coin flip.
+RUNS_OVERRIDE = {
+    "x29_sketch_profile": 5,
+    "x38_containment": 5,
+    "x59_semantic_dedup": 5,
+}
+
 
 def _run_once(fn, spark, sf_dir: str) -> float:
     # Drop the dedup memo artifacts (shingle index, pair graph) so a
@@ -278,11 +288,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = matrix.QUERIES[name]
         warmup[name] = round(_run_once(fn, spark, sf_dir), 3)
-        runs = [_run_once(fn, spark, sf_dir) for _ in range(n_runs)]
+        n_q = max(n_runs, RUNS_OVERRIDE.get(name, 0))
+        runs = [_run_once(fn, spark, sf_dir) for _ in range(n_q)]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         print(
-            f"# {name}: median {timings[name]:.3f}s over {n_runs} runs "
+            f"# {name}: median {timings[name]:.3f}s over {n_q} runs "
             f"{spread[name]} (warmup {warmup[name]:.3f}s)",
             file=sys.stderr,
         )

@@ -526,7 +526,19 @@ def semantic_dedup(
     assigned = _with_list_assignment(df, C, vec_col).select(
         F.col(id_col).alias("id"), F.col("list_id"), F.col("__unit").alias("unit")
     )
-    pairs = _within_cluster_pairs(assigned, threshold)
+    # Size the ONE exchange feeding the gemm stage to the group count:
+    # a hash-repartition on list_id satisfies applyInPandas's required
+    # ClusteredDistribution, so groupBy inserts no second exchange, and
+    # the stage launches min(n_lists, conf) tasks instead of a full
+    # spark.sql.shuffle.partitions fan-out where the empty partitions
+    # each still schedule a task and fork an Arrow Python worker — the
+    # round-3 2.2× bench-spread syndrome. At 100 TB n_lists exceeds the
+    # conf and multiple clusters share a task, which is the right
+    # packing (per-cluster work is the parallelism unit either way).
+    n_parts = min(
+        n_lists, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
+    pairs = _within_cluster_pairs(assigned.repartition(n_parts, "list_id"), threshold)
     comp = connected_components(pairs, df, id_col=id_col)
     return comp.select(
         F.col(id_col),

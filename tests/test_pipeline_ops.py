@@ -26,6 +26,41 @@ def test_containment_planted_subset(spark):
     assert not any(3 in k for k in out)
 
 
+def test_containment_positional_filter_exact_vs_bruteforce(spark):
+    """The b-side positional prune (|Sb| − p_b ≥ ⌈t·|Sa|⌉) must keep
+    candidate generation an exact superset: on a random high-overlap
+    corpus, containment_pairs equals the brute-force all-pairs answer
+    at every threshold — if the prune ever drops the first common
+    shingle of a true pair, a pair vanishes here."""
+    import random
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(40)]  # small vocab → heavy overlap
+    rows = []
+    for i in range(60):
+        k = rng.randint(5, 25)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    df = _docs(spark, rows)
+
+    def sh_set(text: str, n: int = 3) -> set:
+        w = text.split()
+        return {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)} if len(w) >= n else set()
+
+    sets = {i: sh_set(t) for i, t in rows}
+    for t in (0.5, 0.8):
+        truth = {
+            (a, b)
+            for a in sets
+            for b in sets
+            if a != b and sets[a] and len(sets[a] & sets[b]) >= t * len(sets[a]) - 1e-9
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in P.containment_pairs(df, threshold=t).collect()
+        }
+        assert got == truth, f"t={t}: missing={truth-got} extra={got-truth}"
+
+
 def test_contamination_planted_benchmark_copy(spark):
     """A corpus doc that IS a benchmark doc scores contamination 1.0;
     an unrelated doc scores 0.0; benchmark rows are excluded."""
