@@ -447,6 +447,40 @@ def knn_classify(
     return truth.join(pred, "qid").select("qid", "true_label", "pred_label", "votes")
 
 
+def _assign_lists_arrow(
+    df: DataFrame, C: "np.ndarray", id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, list_id, unit) cluster assignment as ONE Arrow
+    ``mapInPandas`` pass: normalize and argmax the centroid dots with
+    a single numpy gemm per batch. The scan-stage expression twin
+    (:func:`_with_list_assignment`) stays the right tool where the
+    assignment must remain JVM-side (IVF probe filters, partition
+    pruning); for :func:`semantic_dedup` the unit vectors cross into
+    Python immediately afterwards anyway (the gemm pair stage), and
+    the interpreted O(k·d)-per-row higher-order folds are the slow
+    path that also JIT-warms over several runs — vectorized numpy is
+    flat from call one (the ``_within_cluster_pairs`` lesson).
+    Equivalence with the expression twin is pytest-pinned."""
+    Ct = np.ascontiguousarray(C.T, dtype=np.float64)
+    schema = "id long, list_id int, unit array<double>"
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            U = M / np.where(nrm > 0, nrm, 1.0)[:, None]
+            lists = np.argmax(U @ Ct, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "list_id": lists, "unit": list(U)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def _within_cluster_pairs(
     assigned: DataFrame, threshold: float, block: int = 1024
 ) -> DataFrame:
@@ -511,9 +545,13 @@ def semantic_dedup(
     worst-case and far less for balanced clusters; recall loss happens
     only for pairs straddling a cluster boundary (measured against
     brute force in tests; n_lists=1 degenerates to exact). Assignment
-    is one scan expression (`_with_list_assignment`); the unit vectors
-    computed there are reused so cosine inside a cluster is a plain
-    zip_with dot.
+    is one Arrow ``mapInPandas`` numpy pass (`_assign_lists_arrow`):
+    this pipeline's unit vectors cross into Python for the pair gemm
+    immediately anyway, so a JVM-side assignment buys nothing here,
+    and the interpreted O(k·d)-per-row folds were the slow,
+    JIT-warm-in-sensitive path. The scan-expression twin
+    (`_with_list_assignment`) remains the IVF/probe tool, where
+    JVM-side small-int filters and partition pruning matter.
 
     Output: (vec_id, component, kept) — kept=1 iff the row is its
     component's representative; singleton vectors are their own
@@ -523,9 +561,7 @@ def semantic_dedup(
     from sql_engine_spark.operators.dedup import connected_components
 
     C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
-    assigned = _with_list_assignment(df, C, vec_col).select(
-        F.col(id_col).alias("id"), F.col("list_id"), F.col("__unit").alias("unit")
-    )
+    assigned = _assign_lists_arrow(df, C, id_col, vec_col)
     # Size the ONE exchange feeding the gemm stage to the group count:
     # a hash-repartition on list_id satisfies applyInPandas's required
     # ClusteredDistribution, so groupBy inserts no second exchange, and

@@ -267,6 +267,31 @@ def test_semantic_dedup_pairs_join_on_list(emb):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_arrow_assignment_equals_expression_twin(emb):
+    """`_assign_lists_arrow` (numpy mapInPandas, the semantic-dedup
+    path) must agree with `_with_list_assignment` (scan expression,
+    the IVF path) on every row: same list_id, same unit vector to
+    float precision — both argmaxes break ties on the first maximal
+    centroid."""
+    from pyspark.sql import functions as F
+
+    C = S._train_spherical_quantizer(emb, "vec_id", "embedding", 8, S.ANN_SEED)
+    arrow = {
+        r.id: (r.list_id, np.asarray(r.unit))
+        for r in S._assign_lists_arrow(emb, C, "vec_id", "embedding").collect()
+    }
+    expr = {
+        r["vec_id"]: (r["list_id"], np.asarray(r["__unit"]))
+        for r in S._with_list_assignment(emb, C, "embedding")
+        .select("vec_id", "list_id", "__unit")
+        .collect()
+    }
+    assert set(arrow) == set(expr)
+    for i in arrow:
+        assert arrow[i][0] == expr[i][0], f"list_id mismatch at {i}"
+        assert np.allclose(arrow[i][1], expr[i][1], atol=1e-12)
+
+
 # --- x60 k-means refinement ------------------------------------------
 
 
