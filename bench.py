@@ -238,7 +238,7 @@ def _scale_probe(spark, sf_dir: str) -> dict:
         "x20_components": lambda df: noop(
             D.connected_components(D.ngram_jaccard_pairs(df), df)
         ),
-        # corpus-rewriting dedup: window on chunk text + per-doc rebuild
+        # corpus-rewriting dedup: keep-first min-struct agg + per-doc rebuild
         "x56_chunk_dedup": lambda df: noop(P.chunk_dedup(df)),
     }
 
