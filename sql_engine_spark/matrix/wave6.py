@@ -335,10 +335,15 @@ def x68_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s09_stream_late_accounting",
     oracle="""
     WITH ot AS (SELECT ts FROM events WHERE event_id % 50 <> 0),
+    -- the watermark that filters/drops the LATE batch (batch 2) is the
+    -- one ADVERTISED at the end of batch 0 — i.e. derived from the
+    -- FIRST on-time shard (even event_id) ONLY, not the global on-time
+    -- max (Spark versions the operator watermark one batch behind).
+    -- Spark tracks event-time stats at ms precision (floor of the us
+    -- value), minus the 1800500 ms delay.
+    b0 AS (SELECT ts FROM events WHERE event_id % 50 <> 0 AND event_id % 2 = 0),
     lt AS (SELECT ts FROM events WHERE event_id % 50 = 0),
-    -- watermark after batch 1: Spark tracks event-time stats at ms
-    -- precision (floor of the us value), minus the 1800500 ms delay
-    wm AS (SELECT MAX(epoch_ms(ts)) - 1800500 AS w FROM ot),
+    wm AS (SELECT MAX(epoch_ms(ts)) - 1800500 AS w FROM b0),
     ltb AS (SELECT (epoch_ms(ts) - epoch_ms(ts) % 600000) AS start_ms FROM lt),
     kept_late AS (SELECT start_ms FROM ltb, wm WHERE start_ms + 600000 > wm.w),
     otb AS (SELECT (epoch_ms(ts) - epoch_ms(ts) % 600000) AS start_ms FROM ot),
@@ -350,17 +355,23 @@ def x68_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket, n_events FROM counts
     UNION ALL
-    SELECT 'LATE_DROPPED' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+    -- numRowsDroppedByWatermark counts POST-AGGREGATION rows in the
+    -- state operator — one per dropped WINDOW group per batch, not one
+    -- per dropped input event.
+    SELECT 'LATE_DROPPED' AS bucket, CAST(COUNT(DISTINCT start_ms) AS BIGINT) AS n_events
     FROM ltb, wm WHERE start_ms + 600000 <= wm.w
     """,
 )
 def s09_stream_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked late-data accounting (streaming/windows
     .stream_late_data_accounting): the event_id%50==0 shard arrives as
-    a SECOND micro-batch after the watermark advanced past it, its
-    below-watermark windows are dropped by the state store, and the
-    engine's own numRowsDroppedByWatermark metric is emitted as a
-    'LATE_DROPPED' sentinel row next to the surviving update-mode
+    a THIRD micro-batch after the watermark advanced past it (two
+    on-time shards first — Spark applies the batch-N−2 watermark in
+    batch N, so the effective drop threshold comes from the FIRST
+    shard only), its below-watermark windows are dropped by the state
+    store, and the engine's own numRowsDroppedByWatermark metric —
+    one count per dropped WINDOW group, not per event — is emitted as
+    a 'LATE_DROPPED' sentinel row next to the surviving update-mode
     window counts. Deterministic by pinned file order + a 500 ms
     fractional watermark delay (no window-boundary ties), so a batch
     DuckDB oracle replays the watermark arithmetic exactly — the

@@ -1243,8 +1243,18 @@ def quality_dedup_survivors(
     per_q = labeled.groupBy("component", "q").agg(
         F.min(F.col(id_col)).alias("__cand"), F.count(F.lit(1)).alias("__cnt")
     )
+    # max_by SKIPS rows whose ordering key is NULL, so a component
+    # whose every member has NULL quality (only NULL text produces
+    # one — an empty string still tokenizes to [""] and scores) would
+    # return keep_doc=NULL and silently keep nothing. Rank the NULL-q
+    # group at -inf instead: it loses to any real score and an
+    # all-NULL component falls back to its min id — exactly the
+    # q DESC NULLS LAST, id ASC order the removed window used.
+    # keep_quality stays max(q) = NULL for that component (the kept
+    # row's own quality), matching the window's report.
+    rank_q = F.coalesce(F.col("q"), F.lit(float("-inf")))
     return per_q.groupBy("component").agg(
-        F.max_by(F.col("__cand"), F.col("q")).alias("keep_doc"),
+        F.max_by(F.col("__cand"), rank_q).alias("keep_doc"),
         F.max("q").alias("keep_quality"),
         F.sum("__cnt").alias("n_docs"),
     )

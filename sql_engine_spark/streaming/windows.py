@@ -322,26 +322,35 @@ def stream_late_data_accounting(
     0``, halved on ``event_id % 2``) and a late shard (``== 0``),
     staged as three parquet files whose modification times force
     file-source order, and streamed with ``maxFilesPerTrigger=1`` →
-    exactly three micro-batches. Three, not two, because Spark ≥ 3.5
-    filters late events with the watermark ADVERTISED at the end of
-    the batch before last (eviction uses the freshly-updated one) — a
-    late shard arriving in batch 1 would be filtered against the
-    initial 1970 watermark and nothing would drop. With the split,
-    batch 2's late-event filter uses the watermark after batch 1 =
-    ``floor_ms(max on-time ts) − delay_ms`` (Spark tracks event-time
-    stats in floor-to-ms precision — EventTimeWatermarkExec divides
-    the µs value by 1000), and late rows whose 10-minute window END ≤
-    that watermark are dropped by the state store. ``delay_ms``
-    deliberately carries a 500 ms fraction so the threshold can never
-    tie with a second-aligned window boundary — the ≤-vs-< edge is
-    unreachable and the DuckDB oracle can replay the arithmetic
-    exactly.
+    exactly three micro-batches. Three, not two, because the operator
+    watermark Spark ≥ 3.5 applies in batch N is the one ADVERTISED at
+    the end of batch N−2 — a late shard arriving in batch 1 would be
+    filtered against the initial 1970 watermark and nothing would
+    drop. So the late batch (batch 2) is filtered/state-dropped with
+    the watermark from the end of batch 0, i.e. derived from the
+    FIRST on-time shard (even ``event_id``) ONLY:
+    ``floor_ms(max even-shard ts) − delay_ms`` (Spark tracks
+    event-time stats in floor-to-ms precision — EventTimeWatermarkExec
+    divides the µs value by 1000). NOT the global on-time max: an odd
+    on-time event can raise the global max without moving batch 2's
+    effective watermark at all (pinned in
+    ``test_streaming.test_late_watermark_is_first_shard_only``). Late
+    rows whose 10-minute window END ≤ that watermark are dropped by
+    the state store. ``delay_ms`` deliberately carries a 500 ms
+    fraction so the threshold can never tie with a second-aligned
+    window boundary — the ≤-vs-< edge is unreachable and the DuckDB
+    oracle can replay the arithmetic exactly.
 
     The dropped count is read from the engine's OWN accounting —
     ``numRowsDroppedByWatermark`` summed over the run's progress
     events, the metric a production pipeline alerts on — and emitted
     as a ``LATE_DROPPED`` sentinel row next to the surviving window
-    counts. Update-mode micro-batch outputs land in idempotent
+    counts. For a streaming AGGREGATION that metric counts
+    post-aggregation rows — one per dropped WINDOW group per batch,
+    not one per dropped input event (two late events sharing one
+    dropped window count once; pinned in
+    ``test_late_dropped_counts_windows_not_events``) — and the oracle
+    replays exactly that. Update-mode micro-batch outputs land in idempotent
     ``__batch_id`` partitions (same exactly-once shape as
     :func:`stream_to_parquet_exactly_once`); the final value of each
     window is its row from the LAST batch that updated it

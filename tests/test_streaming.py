@@ -267,3 +267,58 @@ def test_late_accounting_sentinel_matches_threshold(spark, tmp_path):
     assert got["2024-01-01 01:00:00"] == 11
     # every on-time row survived
     assert sum(got.values()) == len(rows) - 1
+
+
+def test_late_watermark_is_first_shard_only(spark, tmp_path):
+    """The drop threshold for the late batch is the watermark
+    advertised at the end of batch 0 — max ts of the EVEN-id on-time
+    shard — NOT the global on-time max: an odd on-time event far in
+    the future must not move it. Here the global max (+200 min) would
+    put the late event's window [90,100) far below watermark, but the
+    even-shard max (+98 min) leaves it above — the event must be KEPT
+    and LATE_DROPPED must be 0. (This is the semantics the s09 oracle
+    replays; an oracle computing the watermark from all on-time
+    events diverges on exactly this corpus.)"""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(1, 99):
+        if i % 50 != 0:
+            rows.append((i, base + dt.timedelta(minutes=i), 1, "view", 1.0, "{}"))
+    # odd on-time outlier far ahead: raises the GLOBAL max only
+    rows.append((99, base + dt.timedelta(minutes=200), 1, "view", 1.0, "{}"))
+    # late event at +95 min: window [90,100) end +100 min; even-shard
+    # watermark = +98 min - 30.008 min < +100 -> kept
+    rows.append((150, base + dt.timedelta(minutes=95), 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(rows, SW.EVENTS_SCHEMA_TS)
+    out = SW.stream_late_data_accounting(df, str(tmp_path / "s09a"))
+    got = {r.bucket: r.n_events for r in out.collect()}
+    assert got.pop("LATE_DROPPED") == 0
+    # window [90,100): on-time ids 90..98 (9 rows) + the kept late one
+    assert got["2024-01-01 01:30:00"] == 10
+    assert sum(got.values()) == len(rows)
+
+
+def test_late_dropped_counts_windows_not_events(spark, tmp_path):
+    """numRowsDroppedByWatermark counts post-aggregation rows — one
+    per dropped WINDOW group, not per dropped input event: two late
+    events sharing one below-watermark window must yield
+    LATE_DROPPED == 1 (and the oracle's COUNT(DISTINCT window)
+    replays that)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(1, 99):
+        if i % 50 != 0:
+            rows.append((i, base + dt.timedelta(minutes=i), 1, "view", 1.0, "{}"))
+    # two late events in the SAME [0,10) window, end +10 min far below
+    # the ~+68 min watermark -> one dropped window group
+    rows.append((50, base + dt.timedelta(minutes=5), 1, "view", 1.0, "{}"))
+    rows.append((100, base + dt.timedelta(minutes=6), 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(rows, SW.EVENTS_SCHEMA_TS)
+    out = SW.stream_late_data_accounting(df, str(tmp_path / "s09b"))
+    got = {r.bucket: r.n_events for r in out.collect()}
+    assert got.pop("LATE_DROPPED") == 1
+    assert sum(got.values()) == len(rows) - 2

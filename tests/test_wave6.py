@@ -308,6 +308,28 @@ def test_quality_dedup_keeps_best_member(docs):
     assert multi  # corpus has planted near-dups
 
 
+def test_quality_dedup_null_text_component_keeps_min_id(spark):
+    """A component whose EVERY member has NULL quality (NULL text is
+    the only way to produce one) must still keep a representative —
+    the min id, exactly what the removed q DESC NULLS LAST window
+    kept — with keep_quality NULL. max_by skips NULL ordering keys,
+    so without the -inf rank fallback keep_doc silently becomes
+    NULL."""
+    from sql_engine_spark.operators.pipeline import quality_dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r.component: r for r in quality_dedup_survivors(docs, pairs).collect()}
+    assert got[1].keep_doc == 1
+    assert got[1].keep_quality is None
+    assert got[1].n_docs == 2
+    # the healthy singleton keeps itself with a real score
+    assert got[3].keep_doc == 3 and got[3].keep_quality is not None
+
+
 def test_quality_dedup_single_aggregate_no_window(docs):
     # VERDICT r3 #3: the per-component keep-best must be map-side-
     # combinable HASH aggregation — no Window, and no SortAggregate
