@@ -224,6 +224,56 @@ def _maybe_error_schema(schema: StructType, strict: bool) -> StructType:
     return StructType([*schema.fields, StructField("error", StringType())])
 
 
+def _quarantined_batches(
+    batches: Iterator[pd.DataFrame],
+    strict: bool,
+    fields: dict[str, str],
+    row_fn,
+    id_out: str = "doc_id",
+) -> Iterator[pd.DataFrame]:
+    """THE decode-or-quarantine boundary, shared by every
+    payload-touching ``mapInPandas`` stage (one policy, one
+    implementation — five per-stage copies drifted in round 3's first
+    cut). Per input row, ``row_fn(payload_bytes, meta)`` returns the
+    output rows it fans out to — a list of dicts over ``fields``
+    (features/stats emit one, a frame exploder many). On ANY exception
+    the module's poison policy applies: ``strict=True`` re-raises and
+    fails the task (oracle-corpus mode); ``strict=False`` emits ONE
+    quarantine row — id, every field null, a non-null ``error`` — so
+    a corrupt blob on a 100 TB crawl flags instead of killing the job.
+
+    ``fields`` maps output field → pandas dtype. Nullable dtypes
+    (``Int64``/``Int32``/``object``) are used in BOTH modes so the two
+    modes cannot drift in Arrow conversion behavior; the id column is
+    always non-null int64.
+    """
+    for pdf in batches:
+        rows: dict[str, list] = {id_out: [], **{f: [] for f in fields}}
+        errs: list[str | None] = []
+        for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+            try:
+                emitted = row_fn(bytes(payload), meta)
+            except Exception as e:  # noqa: BLE001 — quarantine boundary
+                if strict:
+                    raise
+                rows[id_out].append(int(doc_id))
+                for f in fields:
+                    rows[f].append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+                continue
+            for r in emitted:
+                rows[id_out].append(int(doc_id))
+                for f in fields:
+                    rows[f].append(r[f])
+                errs.append(None)
+        cols = {id_out: pd.Series(rows[id_out], dtype="int64")}
+        for f, dt in fields.items():
+            cols[f] = pd.Series(rows[f], dtype=dt)
+        if not strict:
+            cols["error"] = pd.Series(errs, dtype="object")
+        yield pd.DataFrame(cols)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -248,44 +298,26 @@ def frame_sample(
     undecodable payloads as single (doc_id, error) rows (module
     docstring) instead of failing the task."""
 
-    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids: list[int] = []
-            idxs: list[int | None] = []
-            sizes: list[int | None] = []
-            hashes: list[str | None] = []
-            errs: list[str | None] = []
-            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                try:
-                    data = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
-                except Exception as e:  # noqa: BLE001 — quarantine boundary
-                    if strict:
-                        raise
-                    ids.append(int(doc_id))
-                    idxs.append(None)
-                    sizes.append(None)
-                    hashes.append(None)
-                    errs.append(f"{type(e).__name__}: {e}")
-                    continue
-                n_frames = (len(data) + frame_size - 1) // frame_size
-                for i in range(0, n_frames, every_n):
-                    frame = data[i * frame_size : (i + 1) * frame_size]
-                    ids.append(int(doc_id))
-                    idxs.append(i)
-                    sizes.append(len(frame))
-                    hashes.append(hashlib.sha256(frame).hexdigest())
-                    errs.append(None)
-            cols = {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "frame_idx": pd.Series(idxs, dtype="Int64"),
-                "frame_bytes": pd.Series(sizes, dtype="Int64"),
-                "frame_sha256": pd.Series(hashes, dtype="object"),
-            }
-            if not strict:
-                cols["error"] = pd.Series(errs, dtype="object")
-            yield pd.DataFrame(cols)
+    def _rows(payload: bytes, meta) -> list[dict]:
+        data = decode_media(payload, meta.get("mime", "application/octet-stream"))
+        n_frames = (len(data) + frame_size - 1) // frame_size
+        out = []
+        for i in range(0, n_frames, every_n):
+            frame = data[i * frame_size : (i + 1) * frame_size]
+            out.append(
+                {
+                    "frame_idx": i,
+                    "frame_bytes": len(frame),
+                    "frame_sha256": hashlib.sha256(frame).hexdigest(),
+                }
+            )
+        return out
 
-    return df.mapInPandas(_sample, schema=_maybe_error_schema(FRAME_SCHEMA, strict))
+    fields = {"frame_idx": "Int64", "frame_bytes": "Int64", "frame_sha256": "object"}
+    return df.mapInPandas(
+        lambda b: _quarantined_batches(b, strict, fields, _rows),
+        schema=_maybe_error_schema(FRAME_SCHEMA, strict),
+    )
 
 
 RESIZED_SCHEMA = StructType(
@@ -319,44 +351,28 @@ def resize_images(
         reps = (target + len(data) - 1) // len(data)
         return (data * reps)[:target]
 
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [], "width": [], "height": [],
-                "resized_bytes": [], "resized_sha256": [], "error": [],
+    def _rows(payload: bytes, meta) -> list[dict]:
+        data = decode_media(payload, meta.get("mime", "application/octet-stream"))
+        r = _resize_bytes(data)
+        return [
+            {
+                "width": width,
+                "height": height,
+                "resized_bytes": len(r),
+                "resized_sha256": hashlib.sha256(r).hexdigest(),
             }
-            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                try:
-                    data = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
-                except Exception as e:  # noqa: BLE001 — quarantine boundary
-                    if strict:
-                        raise
-                    out["doc_id"].append(int(doc_id))
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["resized_bytes"].append(None)
-                    out["resized_sha256"].append(None)
-                    out["error"].append(f"{type(e).__name__}: {e}")
-                    continue
-                r = _resize_bytes(data)
-                out["doc_id"].append(int(doc_id))
-                out["width"].append(width)
-                out["height"].append(height)
-                out["resized_bytes"].append(len(r))
-                out["resized_sha256"].append(hashlib.sha256(r).hexdigest())
-                out["error"].append(None)
-            cols = {
-                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                "width": pd.Series(out["width"], dtype="Int32"),
-                "height": pd.Series(out["height"], dtype="Int32"),
-                "resized_bytes": pd.Series(out["resized_bytes"], dtype="Int64"),
-                "resized_sha256": pd.Series(out["resized_sha256"], dtype="object"),
-            }
-            if not strict:
-                cols["error"] = pd.Series(out["error"], dtype="object")
-            yield pd.DataFrame(cols)
+        ]
 
-    return df.mapInPandas(_resize, schema=_maybe_error_schema(RESIZED_SCHEMA, strict))
+    fields = {
+        "width": "Int32",
+        "height": "Int32",
+        "resized_bytes": "Int64",
+        "resized_sha256": "object",
+    }
+    return df.mapInPandas(
+        lambda b: _quarantined_batches(b, strict, fields, _rows),
+        schema=_maybe_error_schema(RESIZED_SCHEMA, strict),
+    )
 
 
 PAYLOAD_SCHEMA = StructType(
@@ -419,35 +435,28 @@ def image_stats(df: DataFrame, strict: bool = True) -> DataFrame:
     quarantines undecodable payloads (module docstring) instead of
     failing the task."""
 
-    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("doc_id", "width", "height", "n_pixel_bytes", "pixel_sum")}
-            errs: list[str | None] = []
-            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                raw = bytes(payload)
-                try:
-                    info = media_info(raw)
-                    pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
-                except Exception as e:  # noqa: BLE001 — quarantine boundary
-                    if strict:
-                        raise
-                    out["doc_id"].append(int(doc_id))
-                    for k in ("width", "height", "n_pixel_bytes", "pixel_sum"):
-                        out[k].append(None)
-                    errs.append(f"{type(e).__name__}: {e}")
-                    continue
-                out["doc_id"].append(int(doc_id))
-                out["width"].append(info["width"])
-                out["height"].append(info["height"])
-                out["n_pixel_bytes"].append(len(pixels))
-                out["pixel_sum"].append(sum(pixels))
-                errs.append(None)
-            cols = {k: pd.Series(v, dtype="int64" if strict else "Int64") for k, v in out.items()}
-            if not strict:
-                cols["error"] = pd.Series(errs, dtype="object")
-            yield pd.DataFrame(cols)
+    def _rows(payload: bytes, meta) -> list[dict]:
+        info = media_info(payload)
+        pixels = decode_media(payload, meta.get("mime", "application/octet-stream"))
+        return [
+            {
+                "width": info["width"],
+                "height": info["height"],
+                "n_pixel_bytes": len(pixels),
+                "pixel_sum": sum(pixels),
+            }
+        ]
 
-    return df.mapInPandas(_stats, schema=_maybe_error_schema(IMAGE_STATS_SCHEMA, strict))
+    fields = {
+        "width": "Int64",
+        "height": "Int64",
+        "n_pixel_bytes": "Int64",
+        "pixel_sum": "Int64",
+    }
+    return df.mapInPandas(
+        lambda b: _quarantined_batches(b, strict, fields, _rows),
+        schema=_maybe_error_schema(IMAGE_STATS_SCHEMA, strict),
+    )
 
 
 def extract_features(df: DataFrame, strict: bool = True) -> DataFrame:
@@ -458,37 +467,21 @@ def extract_features(df: DataFrame, strict: bool = True) -> DataFrame:
     produces. ``strict=False`` quarantines undecodable payloads
     (module docstring) instead of failing the task."""
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "byte_len": [], "first_byte": [], "sha256": [], "error": []}
-            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                try:
-                    p = decode_media(bytes(payload), meta.get("mime", "application/octet-stream"))
-                except Exception as e:  # noqa: BLE001 — quarantine boundary
-                    if strict:
-                        raise
-                    out["doc_id"].append(int(doc_id))
-                    out["byte_len"].append(None)
-                    out["first_byte"].append(None)
-                    out["sha256"].append(None)
-                    out["error"].append(f"{type(e).__name__}: {e}")
-                    continue
-                out["doc_id"].append(int(doc_id))
-                out["byte_len"].append(len(p))
-                out["first_byte"].append(p[0] if len(p) else -1)
-                out["sha256"].append(hashlib.sha256(p).hexdigest())
-                out["error"].append(None)
-            cols = {
-                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                "byte_len": pd.Series(out["byte_len"], dtype="Int64"),
-                "first_byte": pd.Series(out["first_byte"], dtype="Int32"),
-                "sha256": pd.Series(out["sha256"], dtype="object"),
+    def _rows(payload: bytes, meta) -> list[dict]:
+        p = decode_media(payload, meta.get("mime", "application/octet-stream"))
+        return [
+            {
+                "byte_len": len(p),
+                "first_byte": p[0] if len(p) else -1,
+                "sha256": hashlib.sha256(p).hexdigest(),
             }
-            if not strict:
-                cols["error"] = pd.Series(out["error"], dtype="object")
-            yield pd.DataFrame(cols)
+        ]
 
-    return df.mapInPandas(_extract, schema=_maybe_error_schema(FEATURE_SCHEMA, strict))
+    fields = {"byte_len": "Int64", "first_byte": "Int32", "sha256": "object"}
+    return df.mapInPandas(
+        lambda b: _quarantined_batches(b, strict, fields, _rows),
+        schema=_maybe_error_schema(FEATURE_SCHEMA, strict),
+    )
 
 
 AHASH_SCHEMA = StructType(
@@ -524,65 +517,51 @@ def image_avg_hash(df: DataFrame, grid: int = 8, strict: bool = True) -> DataFra
         # would silently hash a corner of the image or crash a task.
         raise ValueError(f"image_avg_hash requires grid*grid == 64, got grid={grid}")
 
-    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _rows(payload: bytes, meta) -> list[dict]:
         import numpy as np
 
-        for pdf in batches:
-            out = {k: [] for k in ("id", "band0", "band1", "band2", "band3")}
-            errs: list[str | None] = []
-            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                raw = bytes(payload)
-                try:
-                    info = media_info(raw)
-                    pixels = decode_media(raw, meta.get("mime", "application/octet-stream"))
-                    w, h = info["width"], info["height"]
-                    if not w or not h or len(pixels) < w * h:
-                        # JPEG/GIF/BMP "decode" is a header sniff that
-                        # returns entropy-coded bytes (documented module
-                        # limit) — hashing those would be garbage, and a
-                        # JPEG with an unparsed SOF has width=None.
-                        raise NotImplementedError(
-                            "image_avg_hash needs a raw-pixel decode with known "
-                            f"dimensions (PNG); got mime={meta.get('mime')!r} "
-                            f"w={w} h={h} n_bytes={len(pixels)}"
-                        )
-                except Exception as e:  # noqa: BLE001 — quarantine boundary
-                    if strict:
-                        raise
-                    out["id"].append(int(doc_id))
-                    for b in range(4):
-                        out[f"band{b}"].append(None)
-                    errs.append(f"{type(e).__name__}: {e}")
-                    continue
-                w, h = int(w), int(h)
-                ch = max(1, len(pixels) // max(1, w * h))
-                arr = (
-                    np.frombuffer(pixels[: w * h * ch], dtype=np.uint8)
-                    .reshape(h, w, ch)
-                    .astype(np.float64)
-                    .mean(axis=2)
-                )
-                ri = (np.arange(h) * grid) // h
-                ci = (np.arange(w) * grid) // w
-                cell = (ri[:, None] * grid + ci[None, :]).ravel()
-                sums = np.bincount(cell, weights=arr.ravel(), minlength=grid * grid)
-                cnts = np.bincount(cell, minlength=grid * grid)
-                means = sums / np.maximum(cnts, 1)
-                bits = means > arr.mean()  # empty cells stay 0
-                out["id"].append(int(doc_id))
-                for b in range(4):
-                    val = 0
-                    for off in range(16):
-                        if bits[b * 16 + off]:
-                            val |= 1 << off
-                    out[f"band{b}"].append(val)
-                errs.append(None)
-            cols = {k: pd.Series(v, dtype="int64" if strict else "Int64") for k, v in out.items()}
-            if not strict:
-                cols["error"] = pd.Series(errs, dtype="object")
-            yield pd.DataFrame(cols)
+        info = media_info(payload)
+        pixels = decode_media(payload, meta.get("mime", "application/octet-stream"))
+        w, h = info["width"], info["height"]
+        if not w or not h or len(pixels) < w * h:
+            # JPEG/GIF/BMP "decode" is a header sniff that returns
+            # entropy-coded bytes (documented module limit) — hashing
+            # those would be garbage, and a JPEG with an unparsed SOF
+            # has width=None.
+            raise NotImplementedError(
+                "image_avg_hash needs a raw-pixel decode with known "
+                f"dimensions (PNG); got mime={meta.get('mime')!r} "
+                f"w={w} h={h} n_bytes={len(pixels)}"
+            )
+        w, h = int(w), int(h)
+        ch = max(1, len(pixels) // max(1, w * h))
+        arr = (
+            np.frombuffer(pixels[: w * h * ch], dtype=np.uint8)
+            .reshape(h, w, ch)
+            .astype(np.float64)
+            .mean(axis=2)
+        )
+        ri = (np.arange(h) * grid) // h
+        ci = (np.arange(w) * grid) // w
+        cell = (ri[:, None] * grid + ci[None, :]).ravel()
+        sums = np.bincount(cell, weights=arr.ravel(), minlength=grid * grid)
+        cnts = np.bincount(cell, minlength=grid * grid)
+        means = sums / np.maximum(cnts, 1)
+        bits = means > arr.mean()  # empty cells stay 0
+        row = {}
+        for b in range(4):
+            val = 0
+            for off in range(16):
+                if bits[b * 16 + off]:
+                    val |= 1 << off
+            row[f"band{b}"] = val
+        return [row]
 
-    return df.mapInPandas(_hash, schema=_maybe_error_schema(AHASH_SCHEMA, strict))
+    fields = {f"band{b}": "Int64" for b in range(4)}
+    return df.mapInPandas(
+        lambda b: _quarantined_batches(b, strict, fields, _rows, id_out="id"),
+        schema=_maybe_error_schema(AHASH_SCHEMA, strict),
+    )
 
 
 def image_dup_pairs(
