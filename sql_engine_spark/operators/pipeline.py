@@ -755,21 +755,38 @@ def incremental_jaccard_pairs(
     exact integer arithmetic, and survivors get the exact
     array_intersect Jaccard.
 
+    Positional prune (exact, both sides in the SAME df order — the
+    corpus side explodes the same memoized ``osh`` artifact the probe
+    slices): J ≥ t ⟹ overlap o ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉, and the
+    smallest common shingle sits at 0-based position ≤ |A| − o in A
+    AND ≤ |B| − o in B simultaneously, so requiring
+    min(|A| − p_n, |B| − p_o) ≥ α keeps it for every true pair while
+    a corpus-side token deep in its df-ordered array (the hot-shingle
+    tail) never generates candidates.
+
     Output: (id_new, id_old, jaccard).
     """
     num = round(threshold * 1_000_000)
+    denom = 1_000_000 + num
     sh = D.shingle_index(df, id_col, text_col, n)
     new_pred = F.col("id") % new_mod == 0
     prefix_len = (F.col("sz") - D._ceil_frac(F.col("sz"), threshold) + 1).cast("int")
+    osh = D.ordered_shingle_index(sh)
     pref = (
-        D.ordered_shingle_index(sh)
-        .filter(new_pred)
-        .select("id", "sz", F.explode(F.slice("osh", 1, prefix_len)).alias("s"))
-        .select(F.col("id").alias("id_new"), F.col("sz").alias("sz_new"), "s")
+        osh.filter(new_pred)
+        .select("id", "sz", F.posexplode(F.slice("osh", 1, prefix_len)).alias("pn", "s"))
+        .select(F.col("id").alias("id_new"), F.col("sz").alias("sz_new"), "pn", "s")
     )
     inv = (
-        sh.filter(~new_pred)
-        .select(F.col("id").alias("id_old"), F.col("sz").alias("sz_old"), F.explode("sh").alias("s"))
+        osh.filter(~new_pred)
+        .select(
+            F.col("id").alias("id_old"),
+            F.col("sz").alias("sz_old"),
+            F.posexplode("osh").alias("po", "s"),
+        )
+    )
+    alpha = F.floor(
+        ((F.col("sz_new") + F.col("sz_old")) * num + (denom - 1)) / F.lit(denom)
     )
     cands = (
         pref.join(
@@ -777,7 +794,9 @@ def incremental_jaccard_pairs(
             (pref["s"] == inv["s"])
             # length filter both ways: t·|A| ≤ |B| AND t·|B| ≤ |A|
             & (F.col("sz_old") * 1_000_000 >= F.col("sz_new") * num)
-            & (F.col("sz_new") * 1_000_000 >= F.col("sz_old") * num),
+            & (F.col("sz_new") * 1_000_000 >= F.col("sz_old") * num)
+            & (F.col("sz_new") - F.col("pn") >= alpha)
+            & (F.col("sz_old") - F.col("po") >= alpha),
         )
         .select("id_new", "id_old")
         .dropDuplicates(["id_new", "id_old"])
@@ -1032,13 +1051,20 @@ def incremental_pairs_vs_corpus(
     hash order: a micro-batch is too small to amortize a frequency
     rank, and the one-sided prefix bound (|A∩B| ≥ t·|A| ⟹ any
     (|A|−⌈t·|A|⌉+1)-subset of A hits B) is exact for ANY prefix
-    order because the corpus side is the FULL index. Per-batch cost is
-    O(batch + matched candidates); the corpus index is built once and
-    shared across every batch of the stream.
+    order because the corpus side is the FULL index. Both sides ARE in
+    the same hash order (``shingle_hashes`` emits sorted arrays), so
+    the PPJoin positional prune applies exactly as in
+    :func:`incremental_jaccard_pairs`: the smallest common shingle of
+    a true pair sits at position ≤ |side| − α on BOTH sides
+    (α = ⌈t/(1+t)·(|A|+|B|)⌉), so index tokens deep in their arrays
+    never generate candidates. Per-batch cost is O(batch + matched
+    candidates); the corpus index is built once and shared across
+    every batch of the stream.
 
     Output: (id_new, id_old, jaccard ≥ threshold).
     """
     num = round(threshold * 1_000_000)
+    denom = 1_000_000 + num
     sh_old = D.shingle_index(corpus_df, id_col, text_col, n)
     sh_new = (
         new_df.select(
@@ -1051,19 +1077,24 @@ def incremental_pairs_vs_corpus(
     pref = sh_new.select(
         F.col("id").alias("id_new"),
         F.col("sz").alias("sz_new"),
-        F.explode(F.slice("sh", 1, prefix_len)).alias("s"),
+        F.posexplode(F.slice("sh", 1, prefix_len)).alias("pn", "s"),
     )
     inv = sh_old.select(
         F.col("id").alias("id_old"),
         F.col("sz").alias("sz_old"),
-        F.explode("sh").alias("s"),
+        F.posexplode("sh").alias("po", "s"),
+    )
+    alpha = F.floor(
+        ((F.col("sz_new") + F.col("sz_old")) * num + (denom - 1)) / F.lit(denom)
     )
     cands = (
         pref.join(
             inv,
             (pref["s"] == inv["s"])
             & (F.col("sz_old") * 1_000_000 >= F.col("sz_new") * num)
-            & (F.col("sz_new") * 1_000_000 >= F.col("sz_old") * num),
+            & (F.col("sz_new") * 1_000_000 >= F.col("sz_old") * num)
+            & (F.col("sz_new") - F.col("pn") >= alpha)
+            & (F.col("sz_old") - F.col("po") >= alpha),
         )
         .select("id_new", "id_old")
         .dropDuplicates(["id_new", "id_old"])

@@ -157,6 +157,48 @@ def test_dup_cluster_stats_consistent_with_components(spark, docs):
         assert r.dup_tokens == r.total_tokens - toks[min(members)]
 
 
+def test_incremental_probe_positional_filter_exact_vs_bruteforce(spark):
+    """The two-sided positional prune on the batch-vs-corpus probe
+    (min(|A|−p_n, |B|−p_o) ≥ ⌈t/(1+t)·(|A|+|B|)⌉, both sides in hash
+    order) must keep candidates an exact superset: on a random
+    high-overlap split corpus the probe equals brute-force Jaccard
+    between every (new, old) pair."""
+    import random
+
+    from sql_engine_spark.operators.pipeline import incremental_pairs_vs_corpus
+
+    rng = random.Random(1717)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))  # noqa: E731
+    old_rows = [(i, mk()) for i in range(50)]
+    # new batch: some fresh docs, some near-copies of old ones
+    new_rows = [(100 + i, mk()) for i in range(15)]
+    for i in range(10):
+        new_rows.append((200 + i, old_rows[i][1]))  # verbatim copies
+    old_df = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    def sh_set(text, n=3):
+        w = text.split()
+        return {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)} if len(w) >= n else set()
+
+    olds = {i: sh_set(t) for i, t in old_rows}
+    news = {i: sh_set(t) for i, t in new_rows}
+    for t in (0.5, 0.8):
+        truth = set()
+        for a, sa in news.items():
+            for b, sb in olds.items():
+                if sa and sb:
+                    inter = len(sa & sb)
+                    if inter / (len(sa) + len(sb) - inter) >= t - 1e-12:
+                        truth.add((a, b))
+        got = {
+            (r.id_new, r.id_old)
+            for r in incremental_pairs_vs_corpus(new_df, old_df, threshold=t).collect()
+        }
+        assert got == truth, f"t={t}: missing={truth-got} extra={got-truth}"
+
+
 def test_incremental_dedup_equals_restricted_full_dedup(docs):
     """The incremental probe must find EXACTLY the full-corpus pairs
     that cross the new/old boundary (no recall loss from the one-sided
