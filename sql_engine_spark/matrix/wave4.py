@@ -265,10 +265,10 @@ def x54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection (operators/pipeline
     .incremental_jaccard_pairs): Jaccard ≥ 0.8 pairs between the NEW
     batch (doc_id % 10 == 0 — today's crawl) and the EXISTING corpus,
-    probing only the new docs' rarest-first prefixes into the corpus
-    inverted index — the production shape that never re-dedups the
-    whole corpus per ingest. The oracle is the plain two-sided
-    inverted-index join."""
+    probing only the new docs' rarest-first prefixes into the corpus's
+    df-ordered positional index (two-sided PPJoin positional prune) —
+    the production shape that never re-dedups the whole corpus per
+    ingest. The oracle is the plain two-sided inverted-index join."""
     from sql_engine_spark.operators.pipeline import incremental_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
