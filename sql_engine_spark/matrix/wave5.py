@@ -51,8 +51,9 @@ def x56_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup shape): 16-token chunks, keep-first in (doc_id, chunk_idx)
     order, documents reassembled from surviving chunks. Unlike x51
     (which reports shared spans) this emits the cleaned corpus itself;
-    scan-stage chunking, two wide shuffles (keep-first window on the
-    chunk text, per-doc rebuild)."""
+    scan-stage chunking, two wide shuffles (keep-first as a map-side-
+    combinable min(struct) aggregate on the chunk text, per-doc
+    rebuild)."""
     docs = load_table(spark, sf_dir, "documents")
     return P.chunk_dedup(docs, chunk_tokens=16)
 
