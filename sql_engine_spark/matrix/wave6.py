@@ -343,7 +343,11 @@ def x68_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- value), minus the 1800500 ms delay.
     b0 AS (SELECT ts FROM events WHERE event_id % 50 <> 0 AND event_id % 2 = 0),
     lt AS (SELECT ts FROM events WHERE event_id % 50 = 0),
-    wm AS (SELECT MAX(epoch_ms(ts)) - 1800500 AS w FROM b0),
+    -- COALESCE: an empty even shard leaves the engine's watermark at
+    -- 1970 (nothing drops, every late event kept); a NULL max here
+    -- would instead NULL every comparison and drop ALL late rows
+    -- from the oracle's counts.
+    wm AS (SELECT COALESCE(MAX(epoch_ms(ts)) - 1800500, -9223372036854775807) AS w FROM b0),
     ltb AS (SELECT (epoch_ms(ts) - epoch_ms(ts) % 600000) AS start_ms FROM lt),
     kept_late AS (SELECT start_ms FROM ltb, wm WHERE start_ms + 600000 > wm.w),
     otb AS (SELECT (epoch_ms(ts) - epoch_ms(ts) % 600000) AS start_ms FROM ot),

@@ -146,8 +146,13 @@ def shingle_index(
         df,
         lambda: (
             ensure_parallelism(df)
+            # sz is LONG at the source: F.size() emits int32, and every
+            # prefix/length/positional filter downstream multiplies sz
+            # by ~10⁶ — int32 arithmetic under ANSI mode throws
+            # ARITHMETIC_OVERFLOW at ~2148 shingles (a routine web
+            # document), killing the job instead of returning pairs.
             .select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
-            .withColumn("sz", F.size("sh"))
+            .withColumn("sz", F.size("sh").cast("long"))
         ),
     )
 
@@ -209,6 +214,20 @@ def _ceil_frac(sz: Column, threshold: float) -> Column:
     # floor((a + d - 1)/d) == ceil(a/d); the numerator stays well under
     # 2^53, so the double division is exact enough for floor to be safe.
     return F.floor((sz.cast("long") * num + (1_000_000 - 1)) / F.lit(1_000_000)).cast("long")
+
+
+def _alpha(sz_a: Column, sz_b: Column, threshold: float) -> Column:
+    """⌈t/(1+t)·(|A|+|B|)⌉ — the PPJoin overlap lower bound for
+    J(A,B) ≥ t — in exact integer arithmetic. The ONE shared copy for
+    every positional-prune call site (Jaccard self-join, both
+    incremental probes): the idiom includes the explicit long casts
+    (F.size() emits int32; under ANSI mode (sz_a+sz_b)·num overflows
+    int32 at ~1343 shingles per doc — a routine web-document size —
+    and kills the probe job), and a fix here fixes all of them."""
+    num = round(threshold * 1_000_000)
+    denom = 1_000_000 + num
+    total = sz_a.cast("long") + sz_b.cast("long")
+    return F.floor((total * num + (denom - 1)) / F.lit(denom))
 
 
 def _prefix_tokens(sh: DataFrame, threshold: float, prefix_order: str) -> DataFrame:
@@ -345,12 +364,8 @@ def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> Data
     num = round(threshold * 1_000_000)
     # PPJoin positional filter: J ≥ t ⟺ overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉,
     # and a pair first meeting at 0-based prefix positions (p_a, p_b) can
-    # overlap at most min(|A|−p_a, |B|−p_b) — prune below α. Integer
-    # arithmetic throughout (α = ceil(num·(sz_a+sz_b)/(10⁶+num))).
-    denom = 1_000_000 + num
-    alpha = F.floor(
-        ((F.col("a.sz") + F.col("b.sz")) * num + (denom - 1)) / F.lit(denom)
-    )
+    # overlap at most min(|A|−p_a, |B|−p_b) — prune below α.
+    alpha = _alpha(F.col("a.sz"), F.col("b.sz"), threshold)
     ubound = F.least(F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p"))
     return (
         a.join(

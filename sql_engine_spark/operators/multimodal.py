@@ -438,6 +438,16 @@ def image_stats(df: DataFrame, strict: bool = True) -> DataFrame:
     def _rows(payload: bytes, meta) -> list[dict]:
         info = media_info(payload)
         pixels = decode_media(payload, meta.get("mime", "application/octet-stream"))
+        if info["width"] is None or info["height"] is None:
+            # media_info returns None dims without raising (WAV, JPEG
+            # with an unparsed SOF). Pre-refactor the non-nullable
+            # int64 dtype made the worker raise incidentally; keep the
+            # strict contract EXPLICIT — in strict mode this fails the
+            # task, in quarantine mode it becomes the (id, error) row.
+            raise ValueError(
+                "image_stats needs parseable dimensions; got "
+                f"format={info['format']!r} mime={meta.get('mime')!r}"
+            )
         return [
             {
                 "width": info["width"],

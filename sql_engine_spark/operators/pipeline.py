@@ -767,7 +767,6 @@ def incremental_jaccard_pairs(
     Output: (id_new, id_old, jaccard).
     """
     num = round(threshold * 1_000_000)
-    denom = 1_000_000 + num
     sh = D.shingle_index(df, id_col, text_col, n)
     new_pred = F.col("id") % new_mod == 0
     prefix_len = (F.col("sz") - D._ceil_frac(F.col("sz"), threshold) + 1).cast("int")
@@ -785,9 +784,7 @@ def incremental_jaccard_pairs(
             F.posexplode("osh").alias("po", "s"),
         )
     )
-    alpha = F.floor(
-        ((F.col("sz_new") + F.col("sz_old")) * num + (denom - 1)) / F.lit(denom)
-    )
+    alpha = D._alpha(F.col("sz_new"), F.col("sz_old"), threshold)
     cands = (
         pref.join(
             inv,
@@ -1064,13 +1061,13 @@ def incremental_pairs_vs_corpus(
     Output: (id_new, id_old, jaccard ≥ threshold).
     """
     num = round(threshold * 1_000_000)
-    denom = 1_000_000 + num
     sh_old = D.shingle_index(corpus_df, id_col, text_col, n)
     sh_new = (
         new_df.select(
             F.col(id_col).alias("id"), D.shingle_hashes(text_col, n).alias("sh")
         )
-        .withColumn("sz", F.size("sh"))
+        # long for the same ANSI-overflow reason as shingle_index
+        .withColumn("sz", F.size("sh").cast("long"))
         .filter(F.col("sz") > 0)
     )
     prefix_len = (F.col("sz") - D._ceil_frac(F.col("sz"), threshold) + 1).cast("int")
@@ -1084,9 +1081,7 @@ def incremental_pairs_vs_corpus(
         F.col("sz").alias("sz_old"),
         F.posexplode("sh").alias("po", "s"),
     )
-    alpha = F.floor(
-        ((F.col("sz_new") + F.col("sz_old")) * num + (denom - 1)) / F.lit(denom)
-    )
+    alpha = D._alpha(F.col("sz_new"), F.col("sz_old"), threshold)
     cands = (
         pref.join(
             inv,

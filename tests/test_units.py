@@ -445,3 +445,27 @@ def test_multimodal_quarantine_poison_payloads(spark):
     pairs = {(r.id_a, r.id_b) for r in image_dup_pairs(mixed, strict=False).collect()}
     assert (1, 2) in pairs
     assert all(99 not in p for p in pairs)
+
+
+def test_image_stats_unparseable_dims_surface_explicitly(spark):
+    """A payload media_info cannot size (a WAV: valid header, no
+    dimensions) must FAIL image_stats in strict mode — the strict
+    contract says problems surface, and relying on a dtype coercion
+    error was incidental — and become the (id, error) row in
+    quarantine mode."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from sql_engine_spark.operators.multimodal import image_stats
+
+    wav = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"\x00" * 8
+    df = spark.createDataFrame([(5,)], "doc_id long").select(
+        "doc_id",
+        F.lit(wav).alias("payload"),
+        F.create_map(F.lit("mime"), F.lit("audio/wav")).alias("meta"),
+    )
+    with _pytest.raises(PythonException):
+        image_stats(df, strict=True).collect()
+    out = image_stats(df, strict=False).collect()
+    assert len(out) == 1 and out[0].error is not None and out[0].width is None

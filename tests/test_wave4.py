@@ -157,6 +157,38 @@ def test_dup_cluster_stats_consistent_with_components(spark, docs):
         assert r.dup_tokens == r.total_tokens - toks[min(members)]
 
 
+def test_prefix_filters_survive_long_documents_under_ansi(spark):
+    """F.size() emits int32, and every prefix/length/positional filter
+    multiplies shingle counts by ~10^6 — ANSI mode turns the int32
+    overflow at ~1343-2148 shingles (routine web-document sizes) into
+    ARITHMETIC_OVERFLOW that kills the whole probe job. sz is cast to
+    long at the index source (and inside `_alpha`); a pair of
+    2500-word duplicate docs must come back as a pair, not raise."""
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators.pipeline import (
+        containment_pairs,
+        incremental_jaccard_pairs,
+        incremental_pairs_vs_corpus,
+    )
+
+    big = " ".join(f"tok{i}" for i in range(2500))
+    df = spark.createDataFrame(
+        [(7, big), (10, big), (11, "small doc unrelated text")],
+        "doc_id long, text string",
+    )
+    D.clear_shingle_index()
+    assert {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(df, threshold=0.8).collect()} == {(7, 10)}
+    got = {(r.id_new, r.id_old) for r in incremental_jaccard_pairs(df, threshold=0.8, new_mod=10).collect()}
+    assert got == {(10, 7)}
+    new_df = df.filter("doc_id = 10")
+    old_df = df.filter("doc_id <> 10")
+    got2 = {(r.id_new, r.id_old) for r in incremental_pairs_vs_corpus(new_df, old_df, threshold=0.8).collect()}
+    assert got2 == {(10, 7)}
+    cont = {(r.id_a, r.id_b) for r in containment_pairs(df, threshold=0.9).collect()}
+    assert (7, 10) in cont and (10, 7) in cont
+    D.clear_shingle_index()
+
+
 def test_incremental_probe_positional_filter_exact_vs_bruteforce(spark):
     """The two-sided positional prune on the batch-vs-corpus probe
     (min(|A|−p_n, |B|−p_o) ≥ ⌈t/(1+t)·(|A|+|B|)⌉, both sides in hash
