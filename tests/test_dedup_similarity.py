@@ -22,6 +22,51 @@ def exact_pairs(docs):
     return {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
 
 
+def test_ngram_jaccard_exact_vs_bruteforce_random(spark):
+    """Full PPJoin pipeline (prefix + length + positional filters, both
+    prefix orders) against Python set math on a random high-overlap
+    corpus at two thresholds — the filter stack must be an exact
+    superset and the verify an exact intersection, pair for pair."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]  # tiny vocab → dense overlap
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 20))))
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh_set(text, n=3):
+        w = text.split()
+        return {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)} if len(w) >= n else set()
+
+    sets = {i: sh_set(t) for i, t in rows}
+    for t in (0.5, 0.8):
+        truth = set()
+        ids = sorted(sets)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                sa, sb = sets[a], sets[b]
+                if sa and sb:
+                    inter = len(sa & sb)
+                    if inter / (len(sa) + len(sb) - inter) >= t - 1e-12:
+                        truth.add((a, b))
+        for order in ("df", "hash"):
+            D.clear_shingle_index()
+            got = {
+                (r.id_a, r.id_b)
+                for r in D.ngram_jaccard_pairs(
+                    df, threshold=t, prefix_order=order
+                ).collect()
+            }
+            assert got == truth, (
+                f"t={t} order={order}: missing={truth-got} extra={got-truth}"
+            )
+    D.clear_shingle_index()
+
+
 def test_exact_dedup_deterministic(spark, docs):
     out = D.exact_dedup(docs.select("doc_id", "lang", "source"), ["lang", "source"], "doc_id")
     rows = {(r.lang, r.source): r.doc_id for r in out.collect()}
