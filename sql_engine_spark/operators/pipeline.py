@@ -559,28 +559,53 @@ def assign_splits(
     )
 
 
+def _hash_bucket(h: Column, n_buckets: int) -> Column:
+    """Order-preserving range bucket of the 2²⁰-bucket coin hash:
+    ``⌊h·B/2²⁰⌋``. Monotone in ``h``, so every row of bucket b precedes
+    every row of bucket b+1 in the global (h, id) order — the property
+    that lets per-source order statistics decompose across buckets.
+    h·B < 2²⁰·B is exact in int64 (and in double, < 2⁵³)."""
+    return F.floor(h * F.lit(n_buckets) / F.lit(_MIX_BUCKETS)).cast("int")
+
+
 def cap_per_source(
     df: DataFrame,
     cap: int,
     id_col: str = "doc_id",
     source_col: str = "source",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Per-domain document cap ("at most N examples per domain"):
     keep up to ``cap`` docs per source, chosen in the deterministic
     mix-hash order — stable under re-partitioning and unbiased by
     ingestion order (a plain LIMIT would keep whatever arrived
-    first). One shuffle: the per-source row_number window.
+    first).
 
-    At 100 TB the window sort is per-source; a pathologically hot
-    source makes one partition sort big (not wide) — AQE skew-split
-    applies, and cap selection never needs global state.
+    Skew (VERDICT r4 #2): a bare per-source row_number window makes a
+    pathologically hot source — routinely >50% of a 100 TB corpus —
+    ONE straggler sort task, and AQE cannot help (its skew mitigation
+    splits *join* partitions only; see the same correction at
+    operators/temporal.py). So the cap runs in two stages: (1) a
+    salted pre-rank over (source, hash-bucket) keeps ≤ ``cap`` rows
+    per bucket — the hot source's sort splits ``n_buckets`` ways —
+    which is a provable superset of the answer (a row in the global
+    per-source top-``cap`` ranks ≤ cap in any subset containing it);
+    (2) the exact per-source window then sorts at most
+    ``cap·n_buckets`` survivors per source. Both windows use the same
+    deterministic (hash, id) order, so the kept set is identical to
+    the single-window formulation (pytest-pinned).
     """
     h = _coin_hash(id_col, MIX_HASH_K)
-    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    order = [h.asc(), F.col(id_col).asc()]
+    w_pre = Window.partitionBy(source_col, "__salt").orderBy(*order)
+    w = Window.partitionBy(source_col).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__salt", _hash_bucket(h, n_buckets))
+        .withColumn("__prn", F.row_number().over(w_pre))
+        .filter(F.col("__prn") <= cap)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
-        .drop("__rn")
+        .drop("__salt", "__prn", "__rn")
     )
 
 
@@ -590,6 +615,7 @@ def token_budget_subset(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Per-domain token budget ("sample ~1B tokens per domain"): walk
     each source's docs in deterministic hash order and keep them while
@@ -601,22 +627,63 @@ def token_budget_subset(
     use :func:`pack_sequences` machinery when best-fit matters).
 
     Exact: token counts and the running sum are int64; the keep test
-    is an integer comparison. One shuffle (per-source running-sum
-    window).
+    is an integer comparison.
+
+    Skew (VERDICT r4 #3): the prefix-sum is TWO-PHASE instead of one
+    per-source running-sum window (which would put a hot source's
+    entire doc set in one sorted straggler partition — AQE splits join
+    partitions only, never window sorts). The hash-range bucket is
+    order-preserving (:func:`_hash_bucket`), so the global per-source
+    running sum decomposes exactly: (1) one map-side-combinable
+    aggregate computes per-(source, bucket) token totals — a tiny
+    ``sources·n_buckets``-row frame; (2) a window over that tiny frame
+    turns totals into per-bucket starting offsets, broadcast-joined
+    back; (3) buckets whose offset already exceeds the budget are
+    dropped BEFORE any sort (at 100 TB with budget ≪ corpus this
+    eliminates almost all data), and the survivors get a local
+    running-sum window over (source, bucket) — the hot source's sort
+    is split ``n_buckets`` ways — with cum = offset + local sum.
     """
     n = F.size(F.split(F.col(text_col), " ")).cast("long")
     h = _coin_hash(id_col, MIX_HASH_K)
-    w = (
+    base = (
+        df.withColumn("__n_tokens", n)
+        .withColumn("__h", h)
+        .withColumn("__b", _hash_bucket(F.col("__h"), n_buckets))
+    )
+    # Phase 1+2: per-(source, bucket) totals → exclusive prefix offsets.
+    # The window runs over the aggregated frame (≤ sources·n_buckets
+    # rows), never the corpus.
+    w_off = (
         Window.partitionBy(source_col)
-        .orderBy(h.asc(), F.col(id_col).asc())
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(source_col, "__b")
+        .agg(F.sum("__n_tokens").alias("__bsum"))
+        .withColumn("__off", F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)))
+        .drop("__bsum")
+    )
+    # Phase 3: local running sum within each (source, bucket). The
+    # ``__off <= budget`` pre-filter is exact, not heuristic: every row
+    # in such a bucket has cum ≥ __off + its own (≥0) tokens, and rows
+    # the final filter would keep all sit in buckets with __off ≤ budget.
+    w_loc = (
+        Window.partitionBy(source_col, "__b")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("__n_tokens", n)
-        .withColumn("__cum", F.sum("__n_tokens").over(w))
+        base.join(F.broadcast(offsets), [source_col, "__b"])
+        .filter(F.col("__off") <= budget)
+        .withColumn("__cum", F.col("__off") + F.sum("__n_tokens").over(w_loc))
         .filter(F.col("__cum") <= budget)
-        .drop("__cum")
+        .drop("__h", "__b", "__off", "__cum")
         .withColumnRenamed("__n_tokens", "n_tokens")
+        # the keyed join moved (source, __b) to the front; restore the
+        # input column order + n_tokens, the operator's output contract
+        .select(*df.columns, "n_tokens")
     )
 
 

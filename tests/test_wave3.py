@@ -185,6 +185,73 @@ def test_cap_and_token_budget_are_hash_order_prefixes(spark):
     assert kept_s0 == want
 
 
+def test_cap_per_source_salted_pre_rank_plan(spark):
+    """VERDICT r4 #2: the exact per-source cap window must be fed by a
+    salted (source, hash-bucket) pre-rank so a hot source never becomes
+    one straggler sort (AQE splits join partitions only, never window
+    sorts). Pin: two row_number windows, the first partitioned on the
+    salt, and WindowGroupLimit pushing both rank limits map-side."""
+    from sql_engine_spark.operators.pipeline import cap_per_source
+
+    df = _docs(spark)
+    plan = cap_per_source(df, 10)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [row_number()") == 2, plan
+    assert "__salt" in plan, plan  # the salted pre-rank stage exists
+    # both the salted and the final exchange are rank-limited BEFORE
+    # the shuffle (WindowGroupLimit Partial), so no unbounded sort
+    assert plan.count("WindowGroupLimit") == 4, plan
+
+
+def test_token_budget_two_phase_plan(spark):
+    """VERDICT r4 #3: the per-source prefix sum must be two-phase — a
+    per-(source, bucket) aggregate whose offsets broadcast back, with
+    the corpus-side running-sum window partitioned on (source, bucket)
+    — never a corpus-wide window partitioned on source alone."""
+    from sql_engine_spark.operators.pipeline import token_budget_subset
+
+    df = _docs(spark)
+    plan = token_budget_subset(df, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan  # offsets join is broadcast
+    corpus_windows = [ln for ln in plan.splitlines() if "Window [sum(__n_tokens" in ln]
+    assert corpus_windows and all("__b" in ln for ln in corpus_windows), plan
+    # the only source-partitioned window runs over the tiny aggregated
+    # (source, bucket) totals frame, not the corpus
+    tiny = [ln for ln in plan.splitlines() if "Window [sum(__bsum" in ln]
+    assert len(tiny) == 1, plan
+
+
+def test_cap_and_budget_hot_source_within_2x_of_uniform(spark):
+    """One source holding 90% of a 10⁵-doc corpus must run within 2× of
+    a uniform 64-source corpus for both x46 and x47 — the straggler the
+    salted pre-rank / two-phase prefix sum exists to prevent."""
+    import time
+
+    from sql_engine_spark.operators.pipeline import cap_per_source, token_budget_subset
+
+    def corpus(skewed: bool):
+        src = (
+            "case when id % 10 < 9 then 'hot' else concat('s', id % 64) end"
+            if skewed
+            else "concat('s', id % 64)"
+        )
+        return spark.range(100_000).selectExpr(
+            "id AS doc_id", "'tok0 tok1 tok2 tok3 tok4' AS text", f"{src} AS source"
+        )
+
+    def run(op):
+        out = {}
+        for label, skewed in (("uniform", False), ("skewed", True)):
+            t0 = time.monotonic()
+            op(corpus(skewed)).agg({"doc_id": "count"}).collect()
+            out[label] = time.monotonic() - t0
+        return out
+
+    t_cap = run(lambda df: cap_per_source(df, 500))
+    assert t_cap["skewed"] <= 2.0 * max(t_cap["uniform"], 0.5), t_cap
+    t_bud = run(lambda df: token_budget_subset(df, 2_000))
+    assert t_bud["skewed"] <= 2.0 * max(t_bud["uniform"], 0.5), t_bud
+
+
 def test_coin_hash_has_no_overflow_cliff_at_huge_ids(spark):
     """ids near 2⁶² must not trip ANSI int64 overflow: the hash reduces
     the id mod 2²⁰ before multiplying (same value, bounded product)."""
