@@ -425,6 +425,43 @@ def encode_text_as_png(
     return df.mapInPandas(_enc, schema=PAYLOAD_SCHEMA)
 
 
+def poison_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically corrupt 3 of every 4 PNG payloads — the
+    poison-blob fixture generator that turns the quarantine boundary
+    (:func:`_quarantined_batches`) into an oracle-checkable contract.
+    Class = ``id mod 4``, each mapping to a DISTINCT exception class in
+    :func:`png_decode` so the DuckDB oracle can predict the error
+    taxonomy from the id alone:
+
+    - 0: untouched → decodes clean (``error`` null)
+    - 1: signature stripped → ``ValueError`` ("not a PNG payload")
+    - 2: truncated to signature+IHDR (33 bytes, no IDAT) →
+      ``zlib.error`` (type name ``error``)
+    - 3: IHDR depth byte rewritten to 16 → ``NotImplementedError``
+      (CRCs intentionally ignored by the chunk parser)
+
+    Pure JVM byte-slicing expressions (``substring``/``concat`` on
+    binary) — no Python, no extra shuffle; composes with any payload
+    source at scan stage."""
+    cls = F.pmod(F.col(id_col).cast("long"), F.lit(4))
+    p = F.col("payload")
+    stripped = F.expr("substring(payload, 9)")
+    truncated = F.expr("substring(payload, 1, 33)")
+    # IHDR bit-depth lives at 0-based byte 24 (sig 8 + len 4 + tag 4 + w 4 + h 4)
+    depth16 = F.concat(
+        F.expr("substring(payload, 1, 24)"),
+        F.lit(bytes([16])),
+        F.expr("substring(payload, 26)"),
+    )
+    return df.withColumn(
+        "payload",
+        F.when(cls == 1, stripped)
+        .when(cls == 2, truncated)
+        .when(cls == 3, depth16)
+        .otherwise(p),
+    )
+
+
 def image_stats(df: DataFrame, strict: bool = True) -> DataFrame:
     """REAL image decode stage: header-sniff dimensions
     (:func:`media_info`), decode to raw pixels (:func:`decode_media` —

@@ -463,3 +463,32 @@ def test_event_anomalies_flags_outlier(spark):
     got = {r.user_id: r.is_anomaly for r in event_rate_anomalies(df).collect()}
     assert got[99] == 1
     assert sum(got.values()) == 1  # only the bot
+
+
+# --- x69 quarantine error-class taxonomy ------------------------------
+
+
+def test_poison_payloads_quarantine_taxonomy(spark):
+    """Each poison class (id mod 4) must land in its own quarantine
+    error class under strict=False — and the healthy class must still
+    decode to exact pixel stats; strict=True must raise instead."""
+    from sql_engine_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text") for i in range(8)], "doc_id long, text string"
+    )
+    poisoned = M.poison_payloads(M.encode_text_as_png(docs))
+    rows = {r.doc_id: r for r in M.image_stats(poisoned, strict=False).collect()}
+    assert len(rows) == 8
+    for i, r in rows.items():
+        cls = i % 4
+        if cls == 0:
+            assert r.error is None and r.n_pixel_bytes == 48  # 1 row of 16 RGB px
+            assert r.pixel_sum == sum(f"doc {i} body text".encode())
+        else:
+            want = {1: "ValueError", 2: "error", 3: "NotImplementedError"}[cls]
+            assert r.error is not None and r.error.split(":")[0] == want, (i, r.error)
+            assert r.width is None and r.pixel_sum is None
+    # strict mode: the first poisoned payload fails the task loudly
+    with pytest.raises(Exception):
+        M.image_stats(poisoned, strict=True).collect()
