@@ -31,59 +31,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return matrix.QUERIES["q5_local_supplier_volume"](spark, "/root/testdata/sf0.001")
 
 
-# Round-1's CORRECTNESS run recorded rows for exactly the FIRST 50
-# registered entries and none after — the iteration order of this dict
-# decides which entries get a hard correctness signal under a budgeted
-# driver run. Names missing from the list (future additions) sort
-# first of all; entries already judged highest-priority are pinned
-# explicitly. Round 4 (VERDICT r3 item #1): x67/x68 — the only 2 of
-# 152 entries without an official row after rounds 1–3 checked 150
-# distinct entries with zero overlap — run FIRST, followed by the one
-# new round-4 entry (s09, VERDICT r3 item #9). Everything after them
-# already carries a pass row from r1/r2/r3.
+# The driver's budgeted CORRECTNESS run records rows for the FIRST ~50
+# registered entries — the iteration order of this dict decides which
+# entries get a hard correctness signal each round. Permanent policy
+# (VERDICT r4 item #1): order = (last-official-row round ASCENDING,
+# changed-files first) — an entry whose implementation file was
+# rewritten AFTER its last official row goes stale and must re-run
+# before anything that merely has an old row on unchanged code. Names
+# missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-4 head: the 2 never-officially-checked entries + new --
-    "x67_retention_cohorts", "x68_event_anomalies",
-    "s09_stream_late_accounting",
-    # -- green in CORRECTNESS_r03 --------------------------------
-    "x22_text_sentiment", "x23_hierarchical_rollup", "x24_asof_join",
-    "x25_range_join", "x26_multimodal_resize", "x27_skyline",
-    "x28_stratified_sample", "x29_sketch_profile", "x30_mergeable_distinct",
-    "x31_embedding_centroid", "x32_multimodal_decode",
-    "g32_array_funcs", "g33_window_frames", "g34_grouping_sets", "g35_pivot",
-    "g36_not_in_subquery", "g37_intersect_except_all", "g38_cte_reuse",
-    "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
-    "g42_values_inline", "g43_percentiles", "g44_ntile", "g45_recursive_cte",
-    "g46_full_outer", "g47_quantified_all", "g48_semi_anti_join",
-    "g49_grouping_id", "g50_rank_family",
-    "x48_multi_query_topk", "x49_knn_classify", "x50_stopword_stats",
-    "x51_span_dups", "x52_quality_stratified", "x53_dup_cluster_stats",
-    "x54_incremental_dedup", "x55_crossmodal_agreement",
-    "x56_chunk_dedup", "x57_component_splits", "x58_weighted_sample",
-    "x59_semantic_dedup", "x60_kmeans_refine",
-    "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
-    "x63_image_dup_pairs", "x64_source_divergence", "x65_quality_dedup",
-    "x66_event_funnel",
-    # -- green in CORRECTNESS_r02 --------------------------------
-    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
-    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
-    "q22_sales_opportunity",
-    "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
-    "x05_dedup_simhash", "x20_dedup_components", "x03_dedup_survivors",
-    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
-    "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
-    "s05_stream_session_window", "s06_stream_interval_join", "s02_stream_sessionize",
-    "x33_contamination", "x34_tfidf_topterms", "x35_sequence_packing",
-    "x36_regex_scrub", "x37_repetition", "x38_containment", "x39_vocab_oov",
-    "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
-    "x43_bigram_rarity", "x44_cross_source_dups", "x45_split_assignment",
+    # -- round-5 head: new entry, then every entry whose implementation
+    # changed after its last official row (r02-row entries over the
+    # r3/r4-rewritten dedup/index code + the r5-rewritten x46/x47;
+    # r03-row x64/x65/x66; r04-row entries over files touched in r5:
+    # multimodal.py [poison_payloads] and similarity.py [conf-parse
+    # hardening]) — VERDICT r4 item #1's list, verbatim -------------
+    "x69_quarantine_classes",
+    "x02_dedup_ngram_jaccard", "x03_dedup_survivors", "x04_dedup_minhash_lsh",
+    "x05_dedup_simhash", "x16_multimodal_features", "x20_dedup_components",
+    "x38_containment", "x33_contamination", "x44_cross_source_dups",
+    "x51_span_dups", "x55_crossmodal_agreement",
     "x46_source_cap", "x47_token_budget",
-    "s07_stream_static_enrich",
-    "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
-    "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
-    "x15_window_tumbling_batch", "x16_multimodal_features", "x17_text_bpe_tokens",
-    "x19_multimodal_frames", "x21_salted_agg",
-    # -- green in CORRECTNESS_r01 --------------------------------
+    "x64_source_divergence", "x65_quality_dedup", "x66_event_funnel",
+    "x26_multimodal_resize", "x32_multimodal_decode", "x63_image_dup_pairs",
+    "x59_semantic_dedup", "x60_kmeans_refine",
+    # -- unchanged code, oldest official rows first: r01 ------------
     "e01_scan_project", "e02_star", "e03_filter_comparisons",
     "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",
     "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
@@ -99,6 +71,41 @@ _DRIVER_ORDER = [
     "g28_math_funcs", "g29_cube", "q4_order_priority", "q12_priority_class",
     "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
     "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
+    # -- unchanged code, r02 rows -----------------------------------
+    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
+    "q22_sales_opportunity",
+    "x01_dedup_exact",
+    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
+    "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
+    "s05_stream_session_window", "s06_stream_interval_join", "s02_stream_sessionize",
+    "x34_tfidf_topterms", "x35_sequence_packing",
+    "x36_regex_scrub", "x37_repetition", "x39_vocab_oov",
+    "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
+    "x43_bigram_rarity", "x45_split_assignment",
+    "s07_stream_static_enrich",
+    "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
+    "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
+    "x15_window_tumbling_batch", "x17_text_bpe_tokens",
+    "x19_multimodal_frames", "x21_salted_agg",
+    # -- unchanged code, r04 rows (freshest) ------------------------
+    "x67_retention_cohorts", "x68_event_anomalies",
+    "s09_stream_late_accounting",
+    "x22_text_sentiment", "x23_hierarchical_rollup", "x24_asof_join",
+    "x25_range_join", "x27_skyline",
+    "x28_stratified_sample", "x29_sketch_profile", "x30_mergeable_distinct",
+    "x31_embedding_centroid",
+    "g32_array_funcs", "g33_window_frames", "g34_grouping_sets", "g35_pivot",
+    "g36_not_in_subquery", "g37_intersect_except_all", "g38_cte_reuse",
+    "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
+    "g42_values_inline", "g43_percentiles", "g44_ntile", "g45_recursive_cte",
+    "g46_full_outer", "g47_quantified_all", "g48_semi_anti_join",
+    "g49_grouping_id", "g50_rank_family",
+    "x48_multi_query_topk", "x49_knn_classify", "x50_stopword_stats",
+    "x52_quality_stratified", "x53_dup_cluster_stats",
+    "x54_incremental_dedup",
+    "x56_chunk_dedup", "x57_component_splits", "x58_weighted_sample",
+    "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
 ]
 
 
