@@ -79,9 +79,15 @@ BENCH_QUERIES = [
 # Per-query measured-run overrides (VERDICT r3 item 8): queries whose
 # driver medians sat just outside their target inside the documented
 # ±30% box variance get n=5 so BENCH_DETAIL's spread brackets the
-# median instead of leaving it to a 3-sample coin flip.
+# median instead of leaving it to a 3-sample coin flip. x33 joined in
+# r5 (VERDICT r4 #4: its 1.17→1.40 s driver drift was the one
+# unexplained >15% regression — n=5 decides noise vs real). The
+# per-query n is recorded in BENCH_DETAIL["n_runs"] so spread
+# comparisons across queries aren't read as one sample size (ADVICE
+# r4).
 RUNS_OVERRIDE = {
     "x29_sketch_profile": 5,
+    "x33_contamination": 5,
     "x38_containment": 5,
     "x59_semantic_dedup": 5,
 }
@@ -269,6 +275,62 @@ def _scale_probe(spark, sf_dir: str) -> dict:
     return probe
 
 
+def _skew_probe(spark, sf_dir: str) -> dict:
+    """Skewed-source probe (VERDICT r4 #7): the per-source window
+    family (x46 cap, x47 token budget, x52 stratified quality, x58
+    weighted sample) timed on a 20×-replicated corpus under two source
+    assignments — uniform (64 even sources) vs 90%-one-source — the
+    regime where a naive per-source window sort becomes one straggler
+    task. Reported per op: min-of-2 seconds for each variant plus the
+    skewed/uniform ratio (target ≤2× after the r5 de-skew rewrites)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.operators import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    rep = docs.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(19)))).select(
+        (F.col("doc_id") * 20 + F.col("__k")).alias("doc_id"), "text", "n_chars"
+    )
+    variants = {
+        "uniform": "concat('s', pmod(doc_id, 64))",
+        "skewed": "CASE WHEN pmod(doc_id, 10) < 9 THEN 'hot' ELSE concat('s', pmod(doc_id, 64)) END",
+    }
+    noop = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+    ops = {
+        "x46_source_cap": lambda df: noop(P.cap_per_source(df, 500)),
+        "x47_token_budget": lambda df: noop(P.token_budget_subset(df, 50_000)),
+        "x52_quality_stratified": lambda df: noop(P.quality_stratified(df, keep_frac=0.5)),
+        "x58_weighted_sample": lambda df: noop(P.weighted_priority_sample(df, k=100)),
+    }
+    base = tempfile.mkdtemp(prefix="sql_engine_skew_probe_")
+    probe: dict = {}
+    try:
+        frames = {}
+        for label, src in variants.items():
+            path = os.path.join(base, label)
+            rep.withColumn("source", F.expr(src)).write.mode("overwrite").parquet(path)
+            frames[label] = spark.read.parquet(path)
+        for name, op in ops.items():
+            block = {}
+            for label, df in frames.items():
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    op(df)
+                    runs.append(time.perf_counter() - t0)
+                block[label] = round(min(runs), 3)
+            block["ratio"] = round(block["skewed"] / max(block["uniform"], 1e-9), 2)
+            print(f"# skew_probe {name}: {block}", file=sys.stderr)
+            probe[name] = block
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -285,10 +347,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     warmup: dict[str, float] = {}
+    n_by_query: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn = matrix.QUERIES[name]
         warmup[name] = round(_run_once(fn, spark, sf_dir), 3)
         n_q = max(n_runs, RUNS_OVERRIDE.get(name, 0))
+        n_by_query[name] = n_q
         runs = [_run_once(fn, spark, sf_dir) for _ in range(n_q)]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
@@ -308,6 +372,8 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
         else {}
     )
+    if scale_probe:
+        scale_probe["skewed_source"] = _skew_probe(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -318,6 +384,7 @@ def main() -> None:
     detail = {
         "sf": sf_val,
         "runs_per_query": n_runs,
+        "n_runs": n_by_query,
         "spread": spread,
         "warmup": warmup,
         "recall": recall,

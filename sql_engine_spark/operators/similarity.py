@@ -460,7 +460,16 @@ def _assign_lists_arrow(
     the interpreted O(k·d)-per-row higher-order folds are the slow
     path that also JIT-warms over several runs — vectorized numpy is
     flat from call one (the ``_within_cluster_pairs`` lesson).
-    Equivalence with the expression twin is pytest-pinned."""
+
+    Equivalence with the expression twin is pytest-pinned but
+    APPROXIMATE by nature (ADVICE r4): the BLAS gemm's summation order
+    differs from the expression's sequential fold, so a vector whose
+    top-2 centroid dots are within a few ulps of each other can
+    legitimately argmax to either list across BLAS builds/SIMD paths.
+    The pinned test therefore skips rows whose winning margin is
+    < 1e-9; downstream (semantic_dedup) a near-tie flip moves a vector
+    between two clusters it sits equidistant from — a boundary case
+    SemDeDup's recall already treats as approximate."""
     Ct = np.ascontiguousarray(C.T, dtype=np.float64)
     schema = "id long, list_id int, unit array<double>"
 
@@ -571,9 +580,11 @@ def semantic_dedup(
     # round-3 2.2× bench-spread syndrome. At 100 TB n_lists exceeds the
     # conf and multiple clusters share a task, which is the right
     # packing (per-cluster work is the parallelism unit either way).
-    n_parts = min(
-        n_lists, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    )
+    # conf value may be non-numeric on managed platforms ("auto" on
+    # Databricks AQE) — fall back to the 200 default rather than
+    # failing the whole job before any work runs (ADVICE r4).
+    conf_parts = str(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = min(n_lists, int(conf_parts) if conf_parts.isdigit() else 200)
     pairs = _within_cluster_pairs(assigned.repartition(n_parts, "list_id"), threshold)
     comp = connected_components(pairs, df, id_col=id_col)
     return comp.select(

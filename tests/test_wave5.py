@@ -270,9 +270,12 @@ def test_semantic_dedup_pairs_join_on_list(emb):
 def test_arrow_assignment_equals_expression_twin(emb):
     """`_assign_lists_arrow` (numpy mapInPandas, the semantic-dedup
     path) must agree with `_with_list_assignment` (scan expression,
-    the IVF path) on every row: same list_id, same unit vector to
-    float precision — both argmaxes break ties on the first maximal
-    centroid."""
+    the IVF path): same list_id, same unit vector to float precision.
+    The equivalence is approximate by nature (ADVICE r4): the BLAS
+    gemm and the sequential fold sum in different orders, so rows
+    whose top-2 centroid dots are within a few ulps can legitimately
+    flip — those near-ties are skipped (and counted, to prove the
+    skip stays rare)."""
     from pyspark.sql import functions as F
 
     C = S._train_spherical_quantizer(emb, "vec_id", "embedding", 8, S.ANN_SEED)
@@ -287,9 +290,16 @@ def test_arrow_assignment_equals_expression_twin(emb):
         .collect()
     }
     assert set(arrow) == set(expr)
+    skipped = 0
     for i in arrow:
+        u = arrow[i][1]
+        dots = np.sort(C @ u)
+        if dots[-1] - dots[-2] < 1e-9:  # near-tie: argmax is build-dependent
+            skipped += 1
+            continue
         assert arrow[i][0] == expr[i][0], f"list_id mismatch at {i}"
         assert np.allclose(arrow[i][1], expr[i][1], atol=1e-12)
+    assert skipped <= len(arrow) // 100  # near-ties must stay rare
 
 
 # --- x60 k-means refinement ------------------------------------------
