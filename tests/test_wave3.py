@@ -291,3 +291,57 @@ def test_wave3_sql_text_front_door(spark, sf_dir):
         got = sorted(map(tuple, front.collect()), key=repr)
         want = sorted(map(tuple, expected.collect()), key=repr)
         assert got == want, f"{name}: front-door SQL text diverges from matrix entry"
+
+
+def test_cap_and_budget_randomized_equivalence_with_single_window(spark):
+    """The salted pre-rank (x46) and the two-phase prefix sum (x47)
+    must be EXACTLY the single-window formulations they replaced, on
+    randomized corpora: random sources (incl. a dominant one), random
+    token counts, several caps/budgets, and n_buckets values that
+    force both degenerate (1 bucket = the old plan) and fragmented
+    (buckets ≫ rows-per-source) decompositions."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.operators.pipeline import (
+        MIX_HASH_K,
+        cap_per_source,
+        token_budget_subset,
+        _coin_hash,
+    )
+
+    rng = random.Random(20260814)
+    rows = [
+        (
+            rng.randrange(1 << 40),  # sparse ids: empty buckets guaranteed
+            " ".join("w" * 1 for _ in range(rng.randrange(1, 12))),
+            "hot" if rng.random() < 0.7 else f"s{rng.randrange(5)}",
+        )
+        for _ in range(400)
+    ]
+    rows = [r for i, r in enumerate(rows) if r[0] not in {x[0] for x in rows[:i]}]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    h = _coin_hash("doc_id", MIX_HASH_K)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    for cap, nb in ((7, 1), (7, 32), (23, 5), (1, 1024)):
+        got = {r.doc_id for r in cap_per_source(df, cap, n_buckets=nb).collect()}
+        want = {
+            r.doc_id
+            for r in df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .collect()
+        }
+        assert got == want, (cap, nb)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    for budget, nb in ((30, 1), (30, 32), (500, 5), (3, 1024)):
+        got = {r.doc_id for r in token_budget_subset(df, budget, n_buckets=nb).collect()}
+        want = {
+            r.doc_id
+            for r in df.withColumn("__cum", F.sum(n_tok).over(wc))
+            .filter(F.col("__cum") <= budget)
+            .collect()
+        }
+        assert got == want, (budget, nb)
