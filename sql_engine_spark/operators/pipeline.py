@@ -643,6 +643,16 @@ def token_budget_subset(
     eliminates almost all data), and the survivors get a local
     running-sum window over (source, bucket) — the hot source's sort
     is split ``n_buckets`` ways — with cum = offset + local sum.
+
+    ``n_buckets`` is the honest knob (cf. the x58 fallback note): the
+    surviving data per source is ≈ the budget's worth of docs plus ONE
+    bucket's width (~source/n_buckets rows), so finer buckets shrink
+    the one sorted straggler-candidate toward the budget itself; the
+    price is the offsets frame (sources × n_buckets rows), which must
+    stay broadcastable. 32 suits few-source curation corpora; a
+    million-source crawl with a tiny budget wants n_buckets in the
+    thousands and a merge-join fallback if the frame outgrows the
+    broadcast threshold.
     """
     n = F.size(F.split(F.col(text_col), " ")).cast("long")
     h = _coin_hash(id_col, MIX_HASH_K)
