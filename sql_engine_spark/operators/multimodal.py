@@ -314,7 +314,7 @@ def frame_sample(
         return out
 
     fields = {"frame_idx": "Int64", "frame_bytes": "Int64", "frame_sha256": "object"}
-    return df.mapInPandas(
+    return df.select("doc_id", "payload", "meta").mapInPandas(
         lambda b: _quarantined_batches(b, strict, fields, _rows),
         schema=_maybe_error_schema(FRAME_SCHEMA, strict),
     )
@@ -369,7 +369,7 @@ def resize_images(
         "resized_bytes": "Int64",
         "resized_sha256": "object",
     }
-    return df.mapInPandas(
+    return df.select("doc_id", "payload", "meta").mapInPandas(
         lambda b: _quarantined_batches(b, strict, fields, _rows),
         schema=_maybe_error_schema(RESIZED_SCHEMA, strict),
     )
@@ -401,7 +401,11 @@ def encode_text_as_png(
     (fixed width, height = ceil(bytes/row), zero-padded tail) with
     ``mime=image/png`` metadata — a deterministic image corpus for
     exercising the non-text decode path end-to-end. Arrow-batched
-    mapInPandas; payload bytes never touch the driver."""
+    mapInPandas; payload bytes never touch the driver. The explicit
+    two-column select matters: mapInPandas consumes whole rows, which
+    BLOCKS Catalyst's column pruning — without it the parquet scan
+    ships every column into Arrow (caught by the r5 ReadSchema
+    audit)."""
     stride = width * 3
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -422,7 +426,7 @@ def encode_text_as_png(
                 }
             )
 
-    return df.mapInPandas(_enc, schema=PAYLOAD_SCHEMA)
+    return df.select(id_col, text_col).mapInPandas(_enc, schema=PAYLOAD_SCHEMA)
 
 
 def poison_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -500,7 +504,7 @@ def image_stats(df: DataFrame, strict: bool = True) -> DataFrame:
         "n_pixel_bytes": "Int64",
         "pixel_sum": "Int64",
     }
-    return df.mapInPandas(
+    return df.select("doc_id", "payload", "meta").mapInPandas(
         lambda b: _quarantined_batches(b, strict, fields, _rows),
         schema=_maybe_error_schema(IMAGE_STATS_SCHEMA, strict),
     )
@@ -525,7 +529,7 @@ def extract_features(df: DataFrame, strict: bool = True) -> DataFrame:
         ]
 
     fields = {"byte_len": "Int64", "first_byte": "Int32", "sha256": "object"}
-    return df.mapInPandas(
+    return df.select("doc_id", "payload", "meta").mapInPandas(
         lambda b: _quarantined_batches(b, strict, fields, _rows),
         schema=_maybe_error_schema(FEATURE_SCHEMA, strict),
     )
@@ -605,7 +609,7 @@ def image_avg_hash(df: DataFrame, grid: int = 8, strict: bool = True) -> DataFra
         return [row]
 
     fields = {f"band{b}": "Int64" for b in range(4)}
-    return df.mapInPandas(
+    return df.select("doc_id", "payload", "meta").mapInPandas(
         lambda b: _quarantined_batches(b, strict, fields, _rows, id_out="id"),
         schema=_maybe_error_schema(AHASH_SCHEMA, strict),
     )
