@@ -492,3 +492,31 @@ def test_poison_payloads_quarantine_taxonomy(spark):
     # strict mode: the first poisoned payload fails the task loudly
     with pytest.raises(Exception):
         M.image_stats(poisoned, strict=True).collect()
+
+
+def test_image_stats_on_jfif_fixture(spark):
+    """VERDICT r4 #6: image_stats end-to-end on a real JFIF-shaped
+    payload — dimensions come from the SOF0 scan (media_info), and the
+    documented pass-through contract applies: JPEG stays entropy-coded
+    (no pixel decode without a media library, README scope line), so
+    the byte stats cover the payload bytes themselves."""
+    import struct
+
+    from sql_engine_spark.operators.multimodal import image_stats
+
+    jfif = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x03\x00\x00\x00"
+        + b"\xff\xd9"  # EOI
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(jfif), {"mime": "image/jpeg"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    [r] = image_stats(df, strict=True).collect()
+    assert (r.width, r.height) == (64, 48)  # SOF0 parse, w/h order correct
+    assert r.n_pixel_bytes == len(jfif) and r.pixel_sum == sum(jfif)
+    # quarantine mode must treat the same healthy payload identically
+    [q] = image_stats(df, strict=False).collect()
+    assert q.error is None and (q.width, q.height) == (64, 48)
