@@ -673,7 +673,9 @@ def token_budget_subset(
         base.groupBy(source_col, "__b")
         .agg(F.sum("__n_tokens").alias("__bsum"))
         .withColumn("__off", F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)))
-        .drop("__bsum")
+        .select(
+            F.col(source_col).alias("__osrc"), F.col("__b").alias("__ob"), "__off"
+        )
     )
     # Phase 3: local running sum within each (source, bucket). The
     # ``__off <= budget`` pre-filter is exact, not heuristic: every row
@@ -684,15 +686,20 @@ def token_budget_subset(
         .orderBy(F.col("__h").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-SAFE join keys: the window formulation treats a NULL source
+    # (or a NULL id's hash bucket) as its own group, so the decomposed
+    # path must too — a plain [source, __b] equi-join would silently
+    # drop those rows. eqNullSafe keys still hash-join.
+    on = F.col(source_col).eqNullSafe(F.col("__osrc")) & F.col("__b").eqNullSafe(
+        F.col("__ob")
+    )
     return (
-        base.join(F.broadcast(offsets), [source_col, "__b"])
+        base.join(F.broadcast(offsets), on)
         .filter(F.col("__off") <= budget)
         .withColumn("__cum", F.col("__off") + F.sum("__n_tokens").over(w_loc))
         .filter(F.col("__cum") <= budget)
-        .drop("__h", "__b", "__off", "__cum")
         .withColumnRenamed("__n_tokens", "n_tokens")
-        # the keyed join moved (source, __b) to the front; restore the
-        # input column order + n_tokens, the operator's output contract
+        # restore the input column order + n_tokens, the output contract
         .select(*df.columns, "n_tokens")
     )
 

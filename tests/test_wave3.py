@@ -322,6 +322,9 @@ def test_cap_and_budget_randomized_equivalence_with_single_window(spark):
         for _ in range(400)
     ]
     rows = [r for i, r in enumerate(rows) if r[0] not in {x[0] for x in rows[:i]}]
+    # NULL sources are their own group under a window partition; the
+    # decomposed paths must keep them too (null-safe join keys)
+    rows += [(rng.randrange(1 << 40), "w w w", None) for _ in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     h = _coin_hash("doc_id", MIX_HASH_K)
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
