@@ -469,3 +469,22 @@ def test_image_stats_unparseable_dims_surface_explicitly(spark):
         image_stats(df, strict=True).collect()
     out = image_stats(df, strict=False).collect()
     assert len(out) == 1 and out[0].error is not None and out[0].width is None
+
+
+def test_driver_order_matches_registered_matrix():
+    """_DRIVER_ORDER is the driver's correctness-budget allocator: a
+    dangling name (after an entry rename) or a missing one must fail
+    loudly here, not silently reshuffle which entries get official
+    rows. Unknown-to-list entries would sort FIRST (safe for brand-new
+    entries mid-round), but the committed state must be exact."""
+    import __spark_entry__ as E
+    from sql_engine_spark import matrix
+
+    order = E._DRIVER_ORDER
+    assert len(order) == len(set(order)), "duplicate names in _DRIVER_ORDER"
+    assert set(order) == set(matrix.QUERIES), (
+        sorted(set(order) - set(matrix.QUERIES)),
+        sorted(set(matrix.QUERIES) - set(order)),
+    )
+    # every oracle key is a registered query
+    assert set(matrix.ORACLE) <= set(matrix.QUERIES)
