@@ -93,6 +93,13 @@ RUNS_OVERRIDE = {
 }
 
 
+def _noop(df) -> None:
+    """Materialize every output column via a noop-format write — the
+    shared measured action for probes (projection cost is paid; a
+    count() would prune it away)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _run_once(fn, spark, sf_dir: str) -> float:
     # Drop the dedup memo artifacts (shingle index, pair graph) so a
     # timed run measures the OPERATOR, not a cache hit from its own
@@ -235,7 +242,7 @@ def _scale_probe(spark, sf_dir: str) -> dict:
             out = out.unionByName(r)
         out.write.mode("overwrite").parquet(path)
 
-    noop = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+    noop = _noop
     ops = {
         "x02_jaccard": lambda df: noop(D.ngram_jaccard_pairs(df)),
         "x04_minhash": lambda df: noop(D.minhash_lsh_pairs(df)),
@@ -299,7 +306,7 @@ def _skew_probe(spark, sf_dir: str) -> dict:
         "uniform": "concat('s', pmod(doc_id, 64))",
         "skewed": "CASE WHEN pmod(doc_id, 10) < 9 THEN 'hot' ELSE concat('s', pmod(doc_id, 64)) END",
     }
-    noop = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+    noop = _noop
     ops = {
         "x46_source_cap": lambda df: noop(P.cap_per_source(df, 500)),
         "x47_token_budget": lambda df: noop(P.token_budget_subset(df, 50_000)),

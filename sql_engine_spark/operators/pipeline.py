@@ -662,8 +662,24 @@ def token_budget_subset(
     million-source crawl with a tiny budget wants n_buckets in the
     thousands and a merge-join fallback if the frame outgrows the
     broadcast threshold.
+
+    Cost accounting vs the single-window plan: the offsets branch and
+    the probe branch each scan + tokenize the corpus once (``base`` is
+    not persisted), so this shape pays ONE extra map-only pass — which
+    pipelines at full parallelism — to replace an unbounded one-task
+    window sort with a bounded one. At 100 TB that trade is the point;
+    callers that prefer memory over the second pass can persist the
+    projected (id, source, tokens, bucket) frame themselves.
+
+    NULL text counts as 0 tokens, explicitly: ANSI ``size(split(NULL))``
+    is NULL (legacy: −1), and a NULL leaking into the running sum would
+    make the row's cum NULL → silently dropped (or corrupt the bucket
+    pre-filter under legacy −1). The explicit WHEN pins one semantic —
+    a NULL-text doc passes through budget-free — in both SQL modes.
     """
-    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col(text_col), " "))
+    ).cast("long")
     h = _coin_hash(id_col, MIX_HASH_K)
     base = (
         df.withColumn("__n_tokens", n)
