@@ -358,3 +358,22 @@ def test_cap_and_budget_randomized_equivalence_with_single_window(spark):
             .collect()
         }
         assert got == want, (budget, nb)
+
+
+def test_cap_and_budget_degenerate_inputs(spark):
+    """Empty input, cap=0, and budget=0 must all return empty frames
+    with the contract schema — the decomposed plans (salted pre-rank,
+    broadcast offsets join) have more moving parts to get this wrong
+    than the single windows they replaced."""
+    from sql_engine_spark.operators.pipeline import cap_per_source, token_budget_subset
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert cap_per_source(empty, 10).count() == 0
+    out = token_budget_subset(empty, 100)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "text", "source", "n_tokens"]
+    df = spark.createDataFrame(
+        [(1, "a b", "s"), (2, "c", "s")], "doc_id long, text string, source string"
+    )
+    assert cap_per_source(df, 0).count() == 0
+    assert token_budget_subset(df, 0).count() == 0

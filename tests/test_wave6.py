@@ -520,3 +520,20 @@ def test_image_stats_on_jfif_fixture(spark):
     # quarantine mode must treat the same healthy payload identically
     [q] = image_stats(df, strict=False).collect()
     assert q.error is None and (q.width, q.height) == (64, 48)
+
+
+def test_encode_decode_roundtrip_non_ascii(spark):
+    """The PNG encode→decode pipeline is byte-level: non-ASCII text
+    (CJK, emoji, combining marks) must round-trip with pixel_sum equal
+    to the sum of the utf-8 BYTES — character-count arithmetic would
+    silently diverge on multi-byte text (the corpus is ASCII, so only
+    this test guards the unicode path)."""
+    from sql_engine_spark.operators.multimodal import encode_text_as_png, image_stats
+
+    texts = ["héllo wörld", "日本語のテキスト", "emoji 🚀🧪 mix", "á combining"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = {r.doc_id: r for r in image_stats(encode_text_as_png(df)).collect()}
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        assert rows[i].pixel_sum == sum(b), t
+        assert rows[i].n_pixel_bytes == max(1, (len(b) + 47) // 48) * 48
