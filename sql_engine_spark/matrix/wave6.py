@@ -397,7 +397,9 @@ def s09_stream_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x69_quarantine_classes",
     oracle="""
     WITH t AS (
-      SELECT doc_id, strlen(text) AS n, doc_id % 4 AS cls FROM documents
+      -- COALESCE mirrors the engine's NULL-text → b'' encoding rule
+      -- (operators/multimodal.encode_text_as_png, ADVICE r5)
+      SELECT doc_id, strlen(COALESCE(text, '')) AS n, doc_id % 4 AS cls FROM documents
     ),
     c AS (
       SELECT doc_id,

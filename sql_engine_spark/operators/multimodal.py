@@ -412,7 +412,12 @@ def encode_text_as_png(
         for pdf in batches:
             ids, payloads, metas = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                data = str(text).encode("utf-8")
+                # NULL text encodes as b'' (one zero-padded pixel row),
+                # NOT str(None) == 'None' — which would be nondeterministic
+                # across Arrow/pandas null representations and silently
+                # diverge from oracles that recompute pixel bytes from
+                # strlen(COALESCE(text,'')) (ADVICE r5).
+                data = (text if isinstance(text, str) else "").encode("utf-8")
                 h = max(1, (len(data) + stride - 1) // stride)
                 pixels = data.ljust(width * h * 3, b"\x00")
                 ids.append(int(doc_id))

@@ -582,9 +582,14 @@ def semantic_dedup(
     # packing (per-cluster work is the parallelism unit either way).
     # conf value may be non-numeric on managed platforms ("auto" on
     # Databricks AQE) — fall back to the 200 default rather than
-    # failing the whole job before any work runs (ADVICE r4).
+    # failing the whole job before any work runs (ADVICE r4). try/int
+    # rather than isdigit(): isdigit accepts non-ASCII digit codepoints
+    # int() rejects, and rejects benign '1024 ' / '2048\n' (ADVICE r5).
     conf_parts = str(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    n_parts = min(n_lists, int(conf_parts) if conf_parts.isdigit() else 200)
+    try:
+        n_parts = min(n_lists, int(conf_parts.strip()))
+    except ValueError:
+        n_parts = min(n_lists, 200)
     pairs = _within_cluster_pairs(assigned.repartition(n_parts, "list_id"), threshold)
     comp = connected_components(pairs, df, id_col=id_col)
     return comp.select(

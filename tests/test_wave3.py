@@ -195,12 +195,21 @@ def test_cap_per_source_salted_pre_rank_plan(spark):
 
     df = _docs(spark)
     plan = cap_per_source(df, 10)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window [row_number()") == 2, plan
+    # two row_number windows (salted pre-rank + exact per-source rank):
+    # count Window NODES containing row_number, not a literal rendering
+    # of the whole expression string (ADVICE r5 — plan toString drifts
+    # across Spark versions; node structure is the stable part)
+    win_nodes = [ln for ln in plan.splitlines() if "Window [" in ln and "row_number()" in ln]
+    assert len(win_nodes) == 2, plan
     assert "__salt" in plan, plan  # the salted pre-rank stage exists
-    # the rank limits are pushed below the shuffles (WindowGroupLimit;
-    # presence, not an exact node count — renderings vary across Spark
-    # versions), so neither window sorts unbounded input
-    assert "WindowGroupLimit" in plan, plan
+    # the rank limits are pushed below the shuffles (WindowGroupLimit).
+    # The rule and its plan rendering exist in Spark 3.5/4.x only —
+    # gate on version so an upgrade doesn't fail a correct operator
+    # (ADVICE r5); the two-window + salt checks above stay unconditional.
+    import pyspark
+
+    if tuple(int(p) for p in pyspark.__version__.split(".")[:2]) >= (3, 5):
+        assert "WindowGroupLimit" in plan, plan
 
 
 def test_token_budget_two_phase_plan(spark):
@@ -221,10 +230,17 @@ def test_token_budget_two_phase_plan(spark):
     assert len(tiny) == 1, plan
 
 
-def test_cap_and_budget_hot_source_within_2x_of_uniform(spark):
-    """One source holding 90% of a 10⁵-doc corpus must run within 2× of
+def test_cap_and_budget_hot_source_within_3x_of_uniform(spark):
+    """One source holding 90% of a 10⁵-doc corpus must run within 3× of
     a uniform 64-source corpus for both x46 and x47 — the straggler the
-    salted pre-rank / two-phase prefix sum exists to prevent."""
+    salted pre-rank / two-phase prefix sum exists to prevent.
+
+    This is a wall-clock regression TRIPWIRE, not the skew measurement:
+    the authoritative number is bench.py's skewed_source probe (min-of-2
+    at 20× data). Min-of-3 with a 3× factor and a 0.5 s floor so the
+    box's documented contention pockets (BASELINE.md: 6× one-off
+    outliers) can't flake an unrelated green run (ADVICE r5); a real
+    un-mitigated straggler is >10× on this shape, so 3× still trips."""
     import time
 
     from sql_engine_spark.operators.pipeline import cap_per_source, token_budget_subset
@@ -243,7 +259,7 @@ def test_cap_and_budget_hot_source_within_2x_of_uniform(spark):
         out = {}
         for label, skewed in (("uniform", False), ("skewed", True)):
             runs = []
-            for _ in range(2):  # min-of-2: one GC pause can't fail the suite
+            for _ in range(3):  # min-of-3: one GC pause can't fail the suite
                 t0 = time.monotonic()
                 op(corpus(skewed)).agg({"doc_id": "count"}).collect()
                 runs.append(time.monotonic() - t0)
@@ -251,9 +267,9 @@ def test_cap_and_budget_hot_source_within_2x_of_uniform(spark):
         return out
 
     t_cap = run(lambda df: cap_per_source(df, 500))
-    assert t_cap["skewed"] <= 2.0 * max(t_cap["uniform"], 0.5), t_cap
+    assert t_cap["skewed"] <= 3.0 * max(t_cap["uniform"], 0.5), t_cap
     t_bud = run(lambda df: token_budget_subset(df, 2_000))
-    assert t_bud["skewed"] <= 2.0 * max(t_bud["uniform"], 0.5), t_bud
+    assert t_bud["skewed"] <= 3.0 * max(t_bud["uniform"], 0.5), t_bud
 
 
 def test_coin_hash_has_no_overflow_cliff_at_huge_ids(spark):

@@ -537,3 +537,17 @@ def test_encode_decode_roundtrip_non_ascii(spark):
         b = t.encode("utf-8")
         assert rows[i].pixel_sum == sum(b), t
         assert rows[i].n_pixel_bytes == max(1, (len(b) + 47) // 48) * 48
+
+
+def test_encode_null_text_as_empty_png(spark):
+    """NULL text encodes as b'' — one zero-padded pixel row, pixel_sum
+    0 — exactly what an oracle recomputing from strlen(COALESCE(text,
+    '')) expects; str(None) == 'None' bytes would silently diverge and
+    be Arrow/pandas-representation dependent (ADVICE r5)."""
+    from sql_engine_spark.operators.multimodal import encode_text_as_png, image_stats
+
+    df = spark.createDataFrame([(0, None), (1, "abc")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in image_stats(encode_text_as_png(df)).collect()}
+    assert rows[0].n_pixel_bytes == 48
+    assert rows[0].pixel_sum == 0
+    assert rows[1].pixel_sum == sum(b"abc")
