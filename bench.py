@@ -89,8 +89,23 @@ RUNS_OVERRIDE = {
     "x29_sketch_profile": 5,
     "x33_contamination": 5,
     "x38_containment": 5,
+    "x56_chunk_dedup": 5,  # VERDICT r5 #5: 0.46→0.80 s driver drift on untouched code — n=5 decides noise vs real
     "x59_semantic_dedup": 5,
 }
+
+# Contention canary (VERDICT r5 #1): two rounds running, the official
+# BENCH number moved for non-code reasons (box contention inflating
+# untouched JVM-only plans 15–85%). A fixed JVM-only query — e08's
+# DISTINCT plan, unchanged since r1, zero Python — is timed at the
+# START, MIDPOINT, and END of the measured loop; max/min of the three
+# samples is the run's contention spread. The spread is recorded in
+# BENCH_DETAIL *and* as a top-level "canary_spread" field on the
+# contract line, so any reader can see whether the run is clean
+# (≤ CANARY_CLEAN) without cross-referencing builder notes. A flagged
+# first pass triggers ONE full re-measure; the pass with the cleaner
+# canary becomes the official timings (both canaries stay in detail).
+CANARY_QUERY = "e08_distinct"
+CANARY_CLEAN = 1.3
 
 
 def _noop(df) -> None:
@@ -338,24 +353,29 @@ def _skew_probe(spark, sf_dir: str) -> dict:
     return probe
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+def _measure(spark, sf_dir: str, n_runs: int):
+    """One full measured pass over BENCH_QUERIES, with the contention
+    canary sampled at start / midpoint / end. Returns (timings, spread,
+    warmup, n_by_query, canary)."""
     from sql_engine_spark import matrix
-    from sql_engine_spark.session import get_spark
 
-    spark = get_spark(app_name="sql_engine_spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    canary_fn = matrix.QUERIES[CANARY_QUERY]
 
-    # Warm the JVM/codegen paths so per-query numbers measure the plan,
-    # not first-call classloading.
-    matrix.QUERIES["e02_star"](spark, sf_dir).collect()
+    def canary_sample() -> float:
+        # min-of-2: the signature being detected is SUSTAINED inflation
+        # (minutes of box contention), not a single GC blip — one
+        # 50 ms pause on a 0.2 s probe must not flag a clean run.
+        return round(min(_run_once(canary_fn, spark, sf_dir) for _ in range(2)), 3)
 
+    samples = [canary_sample()]
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     warmup: dict[str, float] = {}
     n_by_query: dict[str, int] = {}
-    for name in BENCH_QUERIES:
+    mid = len(BENCH_QUERIES) // 2
+    for i, name in enumerate(BENCH_QUERIES):
+        if i == mid:
+            samples.append(canary_sample())
         fn = matrix.QUERIES[name]
         warmup[name] = round(_run_once(fn, spark, sf_dir), 3)
         n_q = max(n_runs, RUNS_OVERRIDE.get(name, 0))
@@ -368,6 +388,43 @@ def main() -> None:
             f"{spread[name]} (warmup {warmup[name]:.3f}s)",
             file=sys.stderr,
         )
+    samples.append(canary_sample())
+    canary = {
+        "query": CANARY_QUERY,
+        "samples": samples,
+        "spread": round(max(samples) / max(min(samples), 1e-9), 2),
+    }
+    print(f"# canary: {canary}", file=sys.stderr)
+    return timings, spread, warmup, n_by_query, canary
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    from sql_engine_spark import matrix
+    from sql_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="sql_engine_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths so per-query numbers measure the plan,
+    # not first-call classloading — including the canary's own plan, so
+    # canary sample 1 measures the box, not e08's codegen compile.
+    matrix.QUERIES["e02_star"](spark, sf_dir).collect()
+    _run_once(matrix.QUERIES[CANARY_QUERY], spark, sf_dir)
+
+    timings, spread, warmup, n_by_query, canary = _measure(spark, sf_dir, n_runs)
+    canaries = [canary]
+    if canary["spread"] > CANARY_CLEAN:
+        print(
+            f"# canary spread {canary['spread']} > {CANARY_CLEAN}: contended run, "
+            "re-measuring once",
+            file=sys.stderr,
+        )
+        t2 = _measure(spark, sf_dir, n_runs)
+        canaries.append(t2[4])
+        if t2[4]["spread"] < canary["spread"]:
+            timings, spread, warmup, n_by_query, canary = t2
 
     # ANN recall@10 vs the exact brute-force searcher, same sf.
     recall = _ann_recall(spark, sf_dir)
@@ -394,13 +451,16 @@ def main() -> None:
         "n_runs": n_by_query,
         "spread": spread,
         "warmup": warmup,
+        "canary": canary,
+        "canary_all_passes": canaries,
+        "canary_rerun": len(canaries) > 1,
         "recall": recall,
         "scale_probe": scale_probe,
     }
-    emit(timings, sf_val, detail)
+    emit(timings, sf_val, detail, canary_spread=canary["spread"])
 
 
-def emit(timings: dict, sf_val, detail: dict) -> str:
+def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None) -> str:
     """Write the detail sidecar and print the compact driver-contract
     JSON as the LAST stdout line. Returns the line (for tests).
 
@@ -408,7 +468,11 @@ def emit(timings: dict, sf_val, detail: dict) -> str:
     goes to BENCH_DETAIL.json + stderr, NOT the stdout line —
     BENCH_r02 was lost ("parsed": null) because the one JSON line
     outgrew the driver's tail capture. The contract line carries ONLY
-    metric/value/unit/queries/sf, nothing optional that could grow it.
+    metric/value/unit/queries/sf plus the one-float contention
+    "canary_spread" (VERDICT r5 #1: readers must be able to tell a
+    clean run from a contention-poisoned one from the official record
+    itself — ≤ 1.3 means clean; per-query targets are not evaluated
+    on a flagged run).
     """
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -417,15 +481,16 @@ def emit(timings: dict, sf_val, detail: dict) -> str:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"# detail -> {detail_path}", file=sys.stderr)
 
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf_val,
-        }
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if canary_spread is not None:
+        payload["canary_spread"] = canary_spread
+    line = json.dumps(payload)
     print(line, flush=True)
     return line
 

@@ -328,9 +328,10 @@ def test_bench_contract_line_is_compact(tmp_path, capsys, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail_file))
     timings = {name: 1.234 for name in bench.BENCH_QUERIES}
     detail = {"spread": {n: [1.0, 2.0] for n in timings}, "recall": {"x": 1}}
-    line = bench.emit(timings, 0.1, detail)
+    line = bench.emit(timings, 0.1, detail, canary_spread=1.08)
     parsed = json.loads(line)
-    assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(parsed) == {"metric", "value", "unit", "queries", "sf", "canary_spread"}
+    assert parsed["canary_spread"] == 1.08
     assert parsed["unit"] == "sec"
     assert parsed["queries"] == timings
     assert parsed["value"] == round(sum(timings.values()), 3)
