@@ -5,11 +5,12 @@ reference citations exist (the reference has none of this); design notes
 live in each operator module.
 
 Oracle coverage: everything SQL-expressible carries a DuckDB oracle
-(including exact n-gram Jaccard dedup, brute-force cosine top-k, and
-the *streaming* tumbling-window aggregation, which in bounded
-complete-mode equals its batch equivalent). Approximate/seeded ops
-(MinHash LSH, SimHash, SRP-ANN) are rows-only here and recall-tested
-against their exact twins in tests/.
+(including exact n-gram Jaccard dedup, brute-force cosine top-k, the
+*streaming* tumbling-window aggregation — bounded complete-mode equals
+batch — and, since r6, MinHash LSH and SimHash, whose portable-hash
+signatures DuckDB replays integer-exactly). Remaining rows-only ops
+(SRP-ANN, IVF, SemDeDup, k-means) are seeded-approximate by design and
+recall/equivalence-tested against their exact twins in tests/.
 """
 
 from __future__ import annotations
@@ -101,6 +102,96 @@ SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4
 
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
 
+# --- portable-hash replay fragments (VERDICT r5 #2/#3) ---------------
+# The MinHash/SimHash operators hash shingles with the PORTABLE family
+# (operators/dedup.py: 60-bit md5-prefix ints + affine minhashes mod
+# 2³¹−1), so DuckDB replays the exact signatures — these entries are
+# hard oracle rows, not rows-only. The hex fold below computes the same
+# integer Spark gets from conv(substring(md5(g),1,15),16,10).
+_PORTABLE_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gr AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS gs
+  FROM tok WHERE len(w) >= 3
+),
+psh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(gs, t -> list_reduce(
+             [strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 for i in range(1, 16)],
+             (a, b) -> a * 16 + b))) AS s
+  FROM gr
+),
+u AS (SELECT doc_id, unnest(s) AS x FROM psh)
+"""
+
+
+def _x04_minhash_sql() -> str:
+    """Integer replay of the banded-MinHash pair set: same affine
+    coefficients (dedup.minhash_coeffs — imported, not copied), same
+    band fold, same exact-Jaccard verification."""
+    P = D.MINHASH_P
+    coeffs = D.minhash_coeffs()
+    mins = ",\n         ".join(
+        f"MIN(({a} * (x % {P}) + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    keys = []
+    for bidx in range(8):
+        k = f"CAST({bidx + 1} AS BIGINT)"
+        for j in range(4):
+            k = f"(({k}) * 1000003 + mh{bidx * 4 + j}) % {P}"
+        keys.append(k)
+    key_list = "[" + ", ".join(keys) + "]"
+    return f"""
+    WITH {_PORTABLE_SHINGLES_CTE},
+    mh AS (SELECT doc_id, {mins} FROM u GROUP BY doc_id),
+    sig AS (SELECT doc_id, {key_list} AS keys FROM mh),
+    ex AS (SELECT doc_id, unnest(range(0, 8)) AS band, unnest(keys) AS key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jac
+      FROM cand c JOIN psh x ON x.doc_id = c.id_a JOIN psh y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b FROM verified WHERE jac >= 0.8
+    """
+
+
+def _x05_simhash_sql() -> str:
+    """Integer replay of the banded-SimHash pair set: 64 bit-majority
+    sums over the portable shingle ints (bits 60–63 structurally zero,
+    mirroring the engine), 4 × 16-bit band join, exact hamming ≤ 8."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(64)
+    )
+    bands = []
+    for band in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN b{band * 16 + off} > 0 THEN {1 << off} ELSE 0 END)" for off in range(16)
+        )
+        bands.append(f"CAST({terms} AS BIGINT) AS band{band}")
+    band_cols = ",\n         ".join(bands)
+    ham = " + ".join(f"bit_count(xor(a.band{i}, b.band{i}))" for i in range(4))
+    return f"""
+    WITH {_PORTABLE_SHINGLES_CTE},
+    sums AS (SELECT doc_id, {bit_sums} FROM u GROUP BY doc_id),
+    sig AS (SELECT doc_id, {band_cols} FROM sums),
+    ex AS (SELECT doc_id, band0, band1, band2, band3,
+                  unnest(range(0, 4)) AS bi,
+                  unnest([band0, band1, band2, band3]) AS bv
+           FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({ham} AS INTEGER) AS hamming
+      FROM ex a JOIN ex b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
+    """
+
 
 # ---------------------------------------------------------------------
 # Deduplication
@@ -148,20 +239,25 @@ def x03_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_by_pairs(docs.select("doc_id", "lang", "source"), pairs)
 
 
-@query("x04_dedup_minhash_lsh")  # approximate (seeded banding) → rows-only; recall-tested vs x02
+@query("x04_dedup_minhash_lsh", oracle=_x04_minhash_sql())
 def x04_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — the sub-quadratic 100 TB path
-    (operators/dedup.minhash_lsh_pairs)."""
+    (operators/dedup.minhash_lsh_pairs). HARD oracle since r6
+    (VERDICT r5 #2): the portable affine family makes the banding
+    decisions integer-replayable, so DuckDB reproduces the exact pair
+    set; recall vs the exact twin stays pytest-tracked."""
     return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8).select(
         "id_a", "id_b"
     )
 
 
-@query("x05_dedup_simhash")  # banded hamming candidates (xxhash64-based) → rows-only
+@query("x05_dedup_simhash", oracle=_x05_simhash_sql())
 def x05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 8 via 4×16-bit band join
     (operators/dedup.simhash_pairs). Hamming 8 ≈ the shingle-level
-    distance the corpus's planted near-dups actually exhibit."""
+    distance the corpus's planted near-dups actually exhibit. HARD
+    oracle since r6 (VERDICT r5 #3): bit-majority signatures over the
+    portable shingle ints are integer-replayable in DuckDB."""
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
 
 

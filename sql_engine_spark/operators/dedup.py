@@ -8,9 +8,11 @@ BASELINE.json, designed for 100 TB:
 - n-gram Jaccard = prefix-filtered inverted-index self-join (PPJoin
   family): candidates only where sorted prefixes collide — exact, and
   never the O(n²) cross product
-- MinHash LSH = expression-only banded minhash signatures (xxhash64),
-  the sub-quadratic scale path
-- SimHash = 64-bit signature via xxhash64, banded for candidate gen
+- MinHash LSH = expression-only banded minhash signatures over a
+  portable (DuckDB-replayable) affine family, the sub-quadratic scale
+  path
+- SimHash = 64-bit bit-majority signature over the portable shingle
+  ints, banded for candidate gen
 
 Every approximate candidate generator is verified with an exact
 array_intersect Jaccard (or exact hamming), so emitted pairs are never
@@ -20,6 +22,7 @@ false positives — only recall is approximate.
 from __future__ import annotations
 
 import os
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -395,6 +398,94 @@ def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return df.join(losers, on=id_col, how="left_anti")
 
 
+# --- Portable (cross-engine-replayable) hash family -------------------
+# xxhash64 is Spark-only, which left the MinHash/SimHash entries as
+# rows-only checks (no DuckDB replay). This family keeps every step
+# integer-exact in BOTH engines (VERDICT r5 #2/#3):
+#   shingle → 60-bit int: first 15 hex chars of md5(shingle) parsed
+#     base-16 (Spark: conv(substring(md5,·),16,10); DuckDB: fold the
+#     same 15 digits) — md5 is the one hash both engines share.
+#   minhash_i(s) = (aᵢ·(s mod P) + bᵢ) mod P with P = 2³¹−1 prime —
+#     a classic universal family; every intermediate stays < 2⁶², so
+#     ANSI int64 arithmetic never overflows on either engine.
+#   band key = modular fold of r minhashes, seeded by band index.
+# md5+conv costs ~2–4× xxhash64 per shingle; the plan SHAPE (scan-stage
+# expressions, zero Python, zero extra shuffles) is unchanged, and at
+# 100 TB the family is a one-expression swap if oracle replay is not
+# needed.
+MINHASH_P = 2_147_483_647  # 2³¹ − 1, prime
+_FOLD_MULT = 1_000_003  # band-key fold multiplier (prime < 2²⁰)
+
+
+def minhash_coeffs(n_hashes: int = 32, seed: int = 42) -> list[tuple[int, int]]:
+    """The (aᵢ, bᵢ) affine coefficients — shared VERBATIM by the Spark
+    operator and the DuckDB oracle SQL (matrix/ext.py formats this same
+    list into the replay query, so the two sides cannot drift)."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(n_hashes)
+    ]
+
+
+def portable_shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles hashed to sorted 60-bit ints both
+    engines can compute (md5-prefix, see family note above). Collision
+    odds ~n²/2⁶¹ — negligible at any corpus size."""
+    w = tokens(text)
+    sz = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return F.when(sz >= n, F.sort_array(F.array_distinct(grams))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def portable_shingle_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Persisted ``(id, sh, sz)`` portable-hash shingle index — the
+    artifact MinHash and SimHash share (one corpus scan feeds both
+    signature families), memoized alongside :func:`shingle_index`."""
+    return _memo_persist(
+        _SHINGLE_INDEX,
+        ("portable", id_col, text_col, n),
+        df,
+        lambda: (
+            ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"), portable_shingle_hashes(text_col, n).alias("sh"))
+            .withColumn("sz", F.size("sh").cast("long"))
+        ),
+    )
+
+
+def minhash_band_keys(n_bands: int, rows_per_band: int, seed: int) -> list[Column]:
+    """The b band-key COLUMN expressions over a shingle array column
+    ``sh``: r affine minhashes folded modularly per band, band index in
+    the fold seed. Split out so signatures stay a pure scan-stage
+    expression list."""
+    coeffs = minhash_coeffs(n_bands * rows_per_band, seed)
+
+    def _affine(a: int, b: int):
+        # MUST be a one-parameter lambda: pyspark passes (element,
+        # array_index) to two-parameter higher-order-function lambdas,
+        # so a `lambda s, i=i:` closure idiom would silently hash the
+        # POSITION into each minhash.
+        return lambda s: (F.lit(a) * (s % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+
+    minhashes = [F.array_min(F.transform("sh", _affine(a, b))) for (a, b) in coeffs]
+    band_keys = []
+    for bidx in range(n_bands):
+        k = F.lit(bidx + 1).cast("long")
+        for mh in minhashes[bidx * rows_per_band : (bidx + 1) * rows_per_band]:
+            k = (k * F.lit(_FOLD_MULT) + mh) % F.lit(MINHASH_P)
+        band_keys.append(k.alias(f"bk{bidx}"))
+    return band_keys
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -408,53 +499,33 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash + banding, expression-only (no ML
     pipeline, no per-hash explode): the sub-quadratic 100 TB path.
 
-    - signatures: b·r minhash values per doc, each
-      ``array_min(transform(shingles, s -> xxhash64(seed+i, s)))`` —
-      computed in the scan stage under whole-stage codegen, zero
-      shuffles and zero Python.
-    - banding: each band of r minhashes collapses to one 64-bit key;
-      docs are exploded to (band_idx, band_key) — b rows per doc — and
-      self-joined on the band. P(candidate) = 1 − (1 − J^r)^b ≈ 0.985
-      at J = 0.8 with b=8, r=4; chance collisions need J^r agreement,
-      so dissimilar pairs almost never meet.
+    - signatures: b·r affine minhash values per doc over the PORTABLE
+      shingle ints (family note above) — computed in the scan stage
+      under whole-stage codegen, zero shuffles and zero Python, and
+      integer-replayable by the DuckDB oracle (x04 is a HARD oracle
+      row since r6; banding decisions are deterministic given the
+      shared coefficients, so the replay reproduces the exact pair
+      set, not just its statistics).
+    - banding: each band of r minhashes folds to one key; docs explode
+      to (band_idx, band_key) — b rows per doc — and self-join on the
+      band. P(candidate) = 1 − (1 − J^r)^b ≈ 0.985 at J = 0.8 with
+      b=8, r=4; chance collisions need J^r agreement, so dissimilar
+      pairs almost never meet.
     - verification: candidates get an EXACT array_intersect Jaccard
       (same verifier as :func:`ngram_jaccard_pairs`), so false
       positives are eliminated; only banding recall is approximate.
-      Hence rows-only in the driver matrix + recall tests vs the exact
-      twin.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     (exact value for every emitted pair).
     """
-    # Shared persisted int64 shingle index (same artifact as the exact
-    # Jaccard join and containment — ONE corpus-wide shingle scan per
-    # session, dropped by clear_shingle_index). Minhashing the int64
-    # shingle hashes is an equally valid permutation family (each
-    # xxhash64(seed+i, ·) is an independent pseudo-permutation of the
-    # already-hashed universe). Docs with empty shingle sets are
-    # filtered AFTER the persisted index (a cheap filter over cached
-    # data) — without it they would share one all-null band key and
+    # Persisted portable shingle index (shared with SimHash — one
+    # corpus-wide shingle scan per session, dropped by
+    # clear_shingle_index). Docs with empty shingle sets are filtered
+    # AFTER the persisted index (a cheap filter over cached data) —
+    # without it they would share one all-empty band key and
     # candidate-pair quadratically among themselves.
-    sh = shingle_index(df, id_col, text_col, n).filter(F.col("sz") > 0)
-
-    def _hash_with_seed(seed_i: int):
-        # MUST be a one-parameter lambda: pyspark passes (element,
-        # array_index) to two-parameter higher-order-function lambdas,
-        # so the `lambda s, i=i:` closure idiom would silently hash the
-        # POSITION into each minhash (a positional hash, not a set
-        # hash — near-zero agreement on sorted arrays).
-        lit = F.lit(seed_i)
-        return lambda s: F.xxhash64(lit, s)
-
-    minhashes = [
-        F.array_min(F.transform("sh", _hash_with_seed(seed + i)))
-        for i in range(n_bands * rows_per_band)
-    ]
-    band_keys = [
-        F.xxhash64(*minhashes[b * rows_per_band : (b + 1) * rows_per_band]).alias(f"bk{b}")
-        for b in range(n_bands)
-    ]
-    sig = sh.select("id", *band_keys)
+    sh = portable_shingle_index(df, id_col, text_col, n).filter(F.col("sz") > 0)
+    sig = sh.select("id", *minhash_band_keys(n_bands, rows_per_band, seed))
     # Long format: one shuffle on (band_idx, band_key) instead of b joins.
     ex = sig.select(
         "id", F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias("band", "key")
@@ -486,15 +557,20 @@ def simhash_signatures(
 
     Features are distinct word n-gram shingles (raw tokens are far too
     coarse on small-vocabulary corpora — every doc shares most words);
-    each shingle hashes with xxhash64, and bit j of the signature is
-    the sign of Σ_shingles (2·bit_j(hash) − 1). Emitted as 4 × 16-bit
-    bands (ints) for LSH banding.
+    bit j of the signature is the sign of Σ_shingles (2·bit_j(hash)−1).
+    Emitted as 4 × 16-bit bands (ints) for LSH banding.
 
-    Reads the shared persisted shingle index: its int64 values ARE
-    xxhash64(shingle string), so exploding the cached arrays gives
-    bit-identical signatures to hashing raw string shingles — without
-    a second corpus-wide shingle scan."""
-    toks = shingle_index(df, id_col, text_col, n).select("id", F.explode("sh").alias("t"))
+    Reads the shared persisted PORTABLE shingle index (since r6): its
+    int values are the md5-prefix hashes the DuckDB oracle can
+    recompute, so the signature — and therefore the banded pair set —
+    is a hard oracle contract, and MinHash/SimHash share one corpus
+    scan. The portable ints carry 60 random bits; bits 60–63 are
+    structurally zero, so their bit-sums are always −sz → signature
+    bit 0 on every doc. Four dead bits cost a little band-3
+    selectivity (12 effective bits) and nothing else — hamming
+    distances between docs are unaffected (the dead bits never
+    differ)."""
+    toks = portable_shingle_index(df, id_col, text_col, n).select("id", F.explode("sh").alias("t"))
     h = F.col("t")
     bit_sums = [
         F.sum(F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")

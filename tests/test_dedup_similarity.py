@@ -301,3 +301,41 @@ def test_shingle_index_memoized_and_clearable(spark, sf_dir):
     D.clear_shingle_index()
     assert D.shingle_index(docs) is not a  # cleared → rebuilt
     D.clear_shingle_index()
+
+
+def test_portable_hash_matches_duckdb_fold(spark):
+    """The load-bearing cross-engine primitive behind the x04/x05 hard
+    oracles: Spark's conv(substring(md5(g),1,15),16,10) must equal
+    DuckDB's 15-digit hex fold of the same md5, for ASCII and
+    multi-byte inputs alike (md5 operates on utf-8 bytes in both)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    texts = ["the quick brown", "fox jumps over", "日本 語 の", "a b c", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r.t: r.h
+        for r in df.select(
+            "t", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in texts:
+        (want,) = con.execute(
+            "SELECT list_reduce([strpos('0123456789abcdef', substr(md5(?), i, 1)) - 1 "
+            "for i in range(1, 16)], (a, b) -> a * 16 + b)",
+            [t],
+        ).fetchone()
+        assert got[t] == want, (t, got[t], want)
+
+
+def test_minhash_oracle_coeffs_are_shared_objects(spark):
+    """The oracle SQL embeds dedup.minhash_coeffs() verbatim — assert
+    the generated x04 SQL contains every coefficient, so a reseed on
+    either side cannot silently drift."""
+    from sql_engine_spark.matrix import ORACLE
+
+    sql = ORACLE["x04_dedup_minhash_lsh"]
+    for a, b in D.minhash_coeffs():
+        assert str(a) in sql and str(b) in sql
