@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible entry.
-    Entries absent here (MinHash/SimHash/ANN/stateful-streaming) are
-    approximate or micro-batch-dependent ops → rows-only check."""
+    Entries absent here (SRP-ANN/IVF probes, SemDeDup, k-means, image
+    resize/frames) are seeded-approximate or binary-payload ops →
+    rows-only check; MinHash/SimHash/stateful-sessionize became hard
+    oracle rows in r6 via portable-hash / batch-replay oracles."""
     return _driver_sorted(dict(matrix.ORACLE))

@@ -530,13 +530,62 @@ def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.run_to_batch(SW.tumbling_window_agg(stream, width="1 hour"), output_mode="complete")
 
 
-@query("s02_stream_sessionize")  # emission set depends on micro-batching → rows-only
+@query(
+    "s02_stream_sessionize",
+    oracle="""
+    -- Batch replay of the bounded stateful run (VERDICT r5 #4, the
+    -- s09 pattern): under AvailableNow the emission set is
+    -- deterministic — every gap-closed session, PLUS trailing
+    -- sessions whose event-time timeout (end + 30 min gap) fell
+    -- strictly behind the final watermark (max ts − 1 h); only
+    -- still-open trailing sessions stay in state. Exact integer
+    -- cents mirror the operator's state arithmetic.
+    WITH m AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    lagd AS (
+      SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM m
+    ),
+    flag AS (
+      SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+      FROM lagd
+    ),
+    sids AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flag
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+             CAST(COUNT(*) AS BIGINT) AS n_events, SUM(cents) AS cents
+      FROM sids GROUP BY 1, 2
+    ),
+    wm AS (SELECT MAX(epoch_ms(ts)) - 3600000 AS w FROM events),
+    last AS (SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY 1)
+    SELECT s.user_id,
+           STRFTIME(make_timestamp(s.start_ms * 1000), '%Y-%m-%d %H:%M:%S') AS session_start,
+           s.n_events,
+           s.cents / 100.0 AS sum_value
+    FROM sess s JOIN last l ON s.user_id = l.user_id, wm
+    WHERE s.sid < l.last_sid OR s.end_ms + 1800000 < wm.w
+    """,
+)
 def s02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stateful streaming via applyInPandasWithState: gap-based
     sessionization with event-time timeouts (streaming/stateful.py).
-    Emits sessions closed within the bounded run; the trailing open
-    session per user stays in state, so this is a rows-only check
-    (deterministic content is asserted in tests/test_streaming.py)."""
+    HARD oracle since r6 (VERDICT r5 #4): with a pinned single-file
+    source and Trigger.AvailableNow, the emission set is deterministic
+    — the per-user gap fold closes sessions batch-side, and the
+    trailing session is emitted iff its timeout (end + gap) fell
+    strictly behind the FINAL watermark (max ts − 1 h), which Spark
+    fires in the post-data timeout batch. The DuckDB replay folds the
+    same gaps (ties on ms cannot move a session boundary: gap 0 ≤ GAP,
+    and min/max/count/sum are tie-order invariant, so the window's
+    (ms, event_id) order is safe against the operator's ms-only sort)
+    and applies the same watermark arithmetic — the rule
+    tests/test_streaming.py has asserted batch-equivalent since r2."""
     from sql_engine_spark.streaming.stateful import sessionize_stream
 
     stream = SW.read_events_stream(spark, sf_dir)
