@@ -40,45 +40,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-5 head: new entry, then every entry whose implementation
-    # changed after its last official row (r02-row entries over the
-    # r3/r4-rewritten dedup/index code + the r5-rewritten x46/x47;
-    # r03-row x64/x65/x66; r04-row entries over files touched in r5:
-    # multimodal.py [poison_payloads] and similarity.py [conf-parse
-    # hardening]) — VERDICT r4 item #1's list, verbatim -------------
-    "x69_quarantine_classes",
-    "x02_dedup_ngram_jaccard", "x03_dedup_survivors", "x04_dedup_minhash_lsh",
-    "x05_dedup_simhash", "x16_multimodal_features", "x20_dedup_components",
-    "x38_containment", "x33_contamination", "x44_cross_source_dups",
-    "x51_span_dups", "x55_crossmodal_agreement",
-    "x46_source_cap", "x47_token_budget",
-    "x64_source_divergence", "x65_quality_dedup", "x66_event_funnel",
-    "x26_multimodal_resize", "x32_multimodal_decode", "x63_image_dup_pairs",
-    "x59_semantic_dedup", "x60_kmeans_refine",
-    # -- unchanged code, oldest official rows first: r01 ------------
-    "e01_scan_project", "e02_star", "e03_filter_comparisons",
-    "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",
-    "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
-    "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
-    "g03_group_by_having", "g04_union_all", "g05_union_distinct",
-    "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
-    "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
-    "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
-    "g18_null_handling", "g19_window_topn", "g20_scalar_subquery",
+    # -- round-6 head: every entry whose implementation (or oracle)
+    # changed after its last official row — the r6 hard-oracle
+    # conversions (portable-hash MinHash/SimHash, batch-replay
+    # sessionize), the x69 NULL-text oracle change, the multimodal
+    # encode fix, and the entries of the otherwise-touched files
+    # (pipeline.py contamination, similarity.py conf parse, the other
+    # dedup.py residents) ------------------------------------------
+    "x04_dedup_minhash_lsh", "x05_dedup_simhash", "s02_stream_sessionize",
+    "x69_quarantine_classes", "x32_multimodal_decode", "x16_multimodal_features",
+    "x26_multimodal_resize", "x63_image_dup_pairs",
+    "x33_contamination", "x59_semantic_dedup",
+    "x02_dedup_ngram_jaccard", "x03_dedup_survivors",
+    # -- unchanged code, OLDEST official rows first (VERDICT r5 #6:
+    # the r01 rows not refreshed in r05) ----------------------------
+    "g19_window_topn", "g20_scalar_subquery",
     "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier_volume", "g23_exists",
     "g24_derived_table", "g25_regexp", "g26_bit_shift", "g27_date_funcs",
     "g28_math_funcs", "g29_cube", "q4_order_priority", "q12_priority_class",
     "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
     "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
-    # -- unchanged code, r02 rows -----------------------------------
+    # -- unchanged code, r02 rows next in line ----------------------
     "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
     "q22_sales_opportunity",
     "x01_dedup_exact",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
     "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
-    "s05_stream_session_window", "s06_stream_interval_join", "s02_stream_sessionize",
+    "s05_stream_session_window", "s06_stream_interval_join",
     "x34_tfidf_topterms", "x35_sequence_packing",
     "x36_regex_scrub", "x37_repetition", "x39_vocab_oov",
     "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
@@ -88,7 +78,12 @@ _DRIVER_ORDER = [
     "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
     "x15_window_tumbling_batch", "x17_text_bpe_tokens",
     "x19_multimodal_frames", "x21_salted_agg",
-    # -- unchanged code, r04 rows (freshest) ------------------------
+    # -- unchanged code, r03/r04 rows -------------------------------
+    "x20_dedup_components", "x38_containment", "x44_cross_source_dups",
+    "x51_span_dups", "x55_crossmodal_agreement",
+    "x46_source_cap", "x47_token_budget",
+    "x64_source_divergence", "x65_quality_dedup", "x66_event_funnel",
+    "x60_kmeans_refine",
     "x67_retention_cohorts", "x68_event_anomalies",
     "s09_stream_late_accounting",
     "x22_text_sentiment", "x23_hierarchical_rollup", "x24_asof_join",
@@ -106,6 +101,16 @@ _DRIVER_ORDER = [
     "x54_incremental_dedup",
     "x56_chunk_dedup", "x57_component_splits", "x58_weighted_sample",
     "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
+    # -- r05 rows (freshest: re-ran last round) ---------------------
+    "e01_scan_project", "e02_star", "e03_filter_comparisons",
+    "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",
+    "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
+    "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
+    "g03_group_by_having", "g04_union_all", "g05_union_distinct",
+    "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
+    "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
+    "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
+    "g18_null_handling",
 ]
 
 
