@@ -408,10 +408,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths so per-query numbers measure the plan,
-    # not first-call classloading — including the canary's own plan, so
-    # canary sample 1 measures the box, not e08's codegen compile.
+    # not first-call classloading — including the canary's own plan.
+    # The canary warms 3×: the first few jobs of a fresh session run
+    # 2–3× slow under C2 JIT/GC warmup (both r6 protocol runs showed
+    # a 0.38–0.54 s first sample settling to 0.17–0.20 s), and a
+    # warmup-inflated first sample would flag a CLEAN run and buy a
+    # pointless full re-measure.
     matrix.QUERIES["e02_star"](spark, sf_dir).collect()
-    _run_once(matrix.QUERIES[CANARY_QUERY], spark, sf_dir)
+    for _ in range(3):
+        _run_once(matrix.QUERIES[CANARY_QUERY], spark, sf_dir)
 
     timings, spread, warmup, n_by_query, canary = _measure(spark, sf_dir, n_runs)
     canaries = [canary]
