@@ -131,22 +131,26 @@ def _x04_minhash_sql() -> str:
     coefficients (dedup.minhash_coeffs — imported, not copied), same
     band fold, same exact-Jaccard verification."""
     P = D.MINHASH_P
-    coeffs = D.minhash_coeffs()
+    # Geometry comes from the dedup module's N_BANDS/ROWS_PER_BAND
+    # constants — the same names the operator defaults read — so the
+    # oracle cannot silently desync from the Spark side (ADVICE r6).
+    nb, rpb = D.N_BANDS, D.ROWS_PER_BAND
+    coeffs = D.minhash_coeffs(nb * rpb)
     mins = ",\n         ".join(
         f"MIN(({a} * (x % {P}) + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
     )
     keys = []
-    for bidx in range(8):
+    for bidx in range(nb):
         k = f"CAST({bidx + 1} AS BIGINT)"
-        for j in range(4):
-            k = f"(({k}) * 1000003 + mh{bidx * 4 + j}) % {P}"
+        for j in range(rpb):
+            k = f"(({k}) * {D._FOLD_MULT} + mh{bidx * rpb + j}) % {P}"
         keys.append(k)
     key_list = "[" + ", ".join(keys) + "]"
     return f"""
     WITH {_PORTABLE_SHINGLES_CTE},
     mh AS (SELECT doc_id, {mins} FROM u GROUP BY doc_id),
     sig AS (SELECT doc_id, {key_list} AS keys FROM mh),
-    ex AS (SELECT doc_id, unnest(range(0, 8)) AS band, unnest(keys) AS key FROM sig),
+    ex AS (SELECT doc_id, unnest(range(0, {nb})) AS band, unnest(keys) AS key FROM sig),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM ex a JOIN ex b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -542,7 +546,10 @@ def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- cents mirror the operator's state arithmetic.
     WITH m AS (
       SELECT user_id, event_id, epoch_ms(ts) AS ms,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             -- floor(v*100 + 0.5), not round(): matches the operator's
+             -- explicit half-up cents fold (streaming/stateful.py) so
+             -- exact-binary-.5 values can't diverge by a tie rule
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
     ),
     lagd AS (

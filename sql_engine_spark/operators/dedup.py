@@ -415,6 +415,13 @@ def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
 # needed.
 MINHASH_P = 2_147_483_647  # 2³¹ − 1, prime
 _FOLD_MULT = 1_000_003  # band-key fold multiplier (prime < 2²⁰)
+# Banding geometry — single source of truth for BOTH the operator
+# defaults and the x04 DuckDB replay oracle (matrix/ext.py formats
+# these into the SQL). Changing one side without the other would
+# silently desync the hard oracle (ADVICE r6); a unit test pins the
+# generated oracle's band count to these names.
+N_BANDS = 8
+ROWS_PER_BAND = 4
 
 
 def minhash_coeffs(n_hashes: int = 32, seed: int = 42) -> list[tuple[int, int]]:
@@ -492,8 +499,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    n_bands: int = 8,
-    rows_per_band: int = 4,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banding, expression-only (no ML

@@ -533,6 +533,21 @@ def _within_cluster_pairs(
     return assigned.groupBy("list_id").applyInPandas(mine, "id_a long, id_b long")
 
 
+def _shuffle_conf_partitions(session, default: int = 200) -> int:
+    """Parse ``spark.sql.shuffle.partitions`` defensively. Managed
+    platforms set non-numeric values ("auto" under Databricks AQE), so
+    try/int rather than isdigit(): benign '1024 ' / '2048\\n' parse,
+    non-ASCII digit codepoints don't (ADVICE r4/r5). Non-positive
+    values ("0", "-1") also fall back — repartition(n <= 0) raises, so
+    a degenerate conf must never flow through (ADVICE r6)."""
+    raw = str(session.conf.get("spark.sql.shuffle.partitions", str(default)))
+    try:
+        n = int(raw.strip())
+    except ValueError:
+        return default
+    return n if n > 0 else default
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.4,
@@ -580,16 +595,7 @@ def semantic_dedup(
     # round-3 2.2× bench-spread syndrome. At 100 TB n_lists exceeds the
     # conf and multiple clusters share a task, which is the right
     # packing (per-cluster work is the parallelism unit either way).
-    # conf value may be non-numeric on managed platforms ("auto" on
-    # Databricks AQE) — fall back to the 200 default rather than
-    # failing the whole job before any work runs (ADVICE r4). try/int
-    # rather than isdigit(): isdigit accepts non-ASCII digit codepoints
-    # int() rejects, and rejects benign '1024 ' / '2048\n' (ADVICE r5).
-    conf_parts = str(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    try:
-        n_parts = min(n_lists, int(conf_parts.strip()))
-    except ValueError:
-        n_parts = min(n_lists, 200)
+    n_parts = min(n_lists, _shuffle_conf_partitions(df.sparkSession))
     pairs = _within_cluster_pairs(assigned.repartition(n_parts, "list_id"), threshold)
     comp = connected_components(pairs, df, id_col=id_col)
     return comp.select(

@@ -10,6 +10,7 @@ O(events).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -80,7 +81,12 @@ def _sessionize_fn(
         start_ms, end_ms, n, cents_sum = None, None, 0, 0
     for ts, value in zip(rows["ts"], rows["value"]):
         t_ms = int(pd.Timestamp(ts).value // 1_000_000)
-        v_cents = int(round(value * 100))
+        # floor(v*100 + 0.5), NOT round(): Python round() is half-to-even
+        # while the DuckDB replay oracle's round() is half-away-from-zero,
+        # so values whose v*100 is an exact binary .5 (0.125, 2.375)
+        # would diverge by 1 cent (ADVICE r6). Both sides now use the
+        # same explicit half-up fold, sign-independent by construction.
+        v_cents = int(math.floor(value * 100 + 0.5))
         if start_ms is None:
             start_ms, end_ms, n, cents_sum = t_ms, t_ms, 1, v_cents
         elif t_ms - end_ms > GAP_MS:

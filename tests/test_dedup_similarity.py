@@ -339,3 +339,29 @@ def test_minhash_oracle_coeffs_are_shared_objects(spark):
     sql = ORACLE["x04_dedup_minhash_lsh"]
     for a, b in D.minhash_coeffs():
         assert str(a) in sql and str(b) in sql
+
+
+def test_minhash_oracle_banding_geometry_is_shared(spark):
+    """ADVICE r6: the oracle's band geometry must come from the same
+    N_BANDS/ROWS_PER_BAND constants the operator defaults read, so
+    changing either side's parameters cannot silently desync the hard
+    oracle. Pins: operator defaults == constants, oracle SQL band
+    count == N_BANDS, minhash column count == N_BANDS*ROWS_PER_BAND,
+    and the default coefficient list covers exactly that many hashes."""
+    import inspect
+    import re
+
+    from sql_engine_spark.matrix import ORACLE
+
+    sig = inspect.signature(D.minhash_lsh_pairs)
+    assert sig.parameters["n_bands"].default == D.N_BANDS
+    assert sig.parameters["rows_per_band"].default == D.ROWS_PER_BAND
+    assert len(D.minhash_coeffs(D.N_BANDS * D.ROWS_PER_BAND)) == D.N_BANDS * D.ROWS_PER_BAND
+
+    sql = ORACLE["x04_dedup_minhash_lsh"]
+    assert f"unnest(range(0, {D.N_BANDS}))" in sql
+    mh_aliases = set(re.findall(r"AS (mh\d+)\b", sql))
+    assert len(mh_aliases) == D.N_BANDS * D.ROWS_PER_BAND
+    # every mh column the band fold references exists in the signature CTE
+    folded = set(re.findall(r"\+ (mh\d+)\)", sql))
+    assert folded <= mh_aliases and len(folded) == D.N_BANDS * D.ROWS_PER_BAND

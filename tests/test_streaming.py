@@ -322,3 +322,36 @@ def test_late_dropped_counts_windows_not_events(spark, tmp_path):
     got = {r.bucket: r.n_events for r in out.collect()}
     assert got.pop("LATE_DROPPED") == 1
     assert sum(got.values()) == len(rows) - 2
+
+
+def test_s02_cents_tie_rule_pinned():
+    """ADVICE r6: the operator's cents fold and the s02 DuckDB replay
+    oracle must share ONE rounding tie rule. Python round() is
+    half-to-even while DuckDB round() is half-away-from-zero, so values
+    whose v*100 is an exact binary .5 (0.125, 2.375) diverged by 1 cent
+    — latent, data-dependent. Both sides now use floor(v*100 + 0.5);
+    pin the source text of each AND that the folds agree numerically on
+    the adversarial values where the old pair genuinely split."""
+    import inspect
+    import math
+
+    import duckdb
+
+    from sql_engine_spark.matrix import ORACLE
+    from sql_engine_spark.streaming import stateful
+
+    assert "math.floor(value * 100 + 0.5)" in inspect.getsource(stateful)
+    assert "floor(value * 100 + 0.5)" in ORACLE["s02_stream_sessionize"]
+
+    # each v*100 is an exact binary .5 whose floor is EVEN, so Python's
+    # half-even round goes down while floor(+0.5) goes up — the
+    # genuinely divergent class (odd-floor ties agree by accident)
+    vals = [0.125, 0.625, 4.625, 7.125, 20.125]
+    got_sql = duckdb.sql(
+        "SELECT " + ", ".join(f"CAST(floor({v!r}*100 + 0.5) AS BIGINT)" for v in vals)
+    ).fetchone()
+    got_py = tuple(int(math.floor(v * 100 + 0.5)) for v in vals)
+    assert got_sql == got_py
+    # the values are genuinely adversarial: Python's half-even round
+    # disagrees on every one (i.e. this test would catch a revert)
+    assert all(int(round(v * 100)) != g for v, g in zip(vals, got_py))

@@ -489,3 +489,34 @@ def test_driver_order_matches_registered_matrix():
     )
     # every oracle key is a registered query
     assert set(matrix.ORACLE) <= set(matrix.QUERIES)
+
+
+def test_shuffle_conf_parse_is_defensive(spark):
+    """ADVICE r6: "0" / "-1" conf values must fall back to the default
+    (repartition(n <= 0) raises), alongside the r4/r5 non-numeric and
+    whitespace cases. Degenerate values are injected through a stub
+    session: local Spark validates conf.set("...partitions", "auto")
+    eagerly, but managed platforms DO surface such strings through
+    conf.get — the stub models that read path."""
+    from sql_engine_spark.operators.similarity import _shuffle_conf_partitions
+
+    class _Stub:
+        def __init__(self, raw):
+            self.conf = self
+
+        def get(self, key, default=None):
+            return self._raw
+
+    for raw, want in [
+        ("auto", 200),
+        ("0", 200),
+        ("-1", 200),
+        (" 1024 ", 1024),
+        ("2048\n", 2048),
+        ("7", 7),
+    ]:
+        s = _Stub(raw)
+        s._raw = raw
+        assert _shuffle_conf_partitions(s) == want, raw
+    # real-session sanity: the live conf (an int string) parses
+    assert _shuffle_conf_partitions(spark) > 0
