@@ -692,12 +692,38 @@ def x18_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, qv, k=10, exclude_id=0).select("vec_id")
 
 
-@query("x19_multimodal_frames")  # byte-slice frame shape; multibyte text ↛ SQL substring → rows-only
+@query(
+    "x19_multimodal_frames",
+    oracle="""
+    -- HARD oracle since r7: frames are byte slices of the UTF-8
+    -- payload, replayed byte-aligned over hex(encode(text)) (2 hex
+    -- chars per byte — multibyte-safe, unlike codepoint substring on
+    -- the text itself, the old rows-only reason). The fingerprint is
+    -- sha256 over the UPPERCASE-HEX frame (the operator's portable
+    -- domain: DuckDB sha256 is VARCHAR-only).
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, h, nb,
+             unnest(range(0, (nb + 63) // 64, 4)) AS frame_idx
+      FROM p
+    )
+    SELECT doc_id, frame_idx,
+           least(CAST(64 AS BIGINT), nb - frame_idx * 64) AS frame_bytes,
+           sha256(substring(h, CAST(frame_idx * 128 + 1 AS BIGINT), 128)) AS frame_sha256
+    FROM f
+    """,
+)
 def x19_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 4th 64-byte frame)
     via Arrow-batched mapInPandas with row fan-out
     (operators/multimodal.frame_sample). Deterministic content is
-    asserted against a local recomputation in tests/test_units.py."""
+    asserted against a local recomputation in tests/test_units.py AND
+    replayed exactly by the DuckDB oracle (portable hex-domain
+    fingerprint, see operator docstring)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.frame_sample(M.attach_payload(docs))
 
@@ -876,11 +902,35 @@ def x25_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_pairs(e, key="user_id", ts_col="ts", id_col="event_id", band_ms=600_000)
 
 
-@query("x26_multimodal_resize")  # byte-cycle fake resize; multibyte text ↛ SQL substring → rows-only
+@query(
+    "x26_multimodal_resize",
+    oracle="""
+    -- HARD oracle since r7: the deterministic byte-cycle "resize"
+    -- commutes with hex encoding (hex of cycled bytes == cycled hex,
+    -- byte-aligned), so the whole fake decode+resize replays in pure
+    -- string SQL; fingerprint is the operator's portable hex-domain
+    -- sha256. Empty payloads resize to 1024 zero bytes.
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(1024 AS BIGINT) AS resized_bytes,
+           sha256(CASE WHEN nb = 0 THEN repeat('00', 1024)
+                  ELSE substring(repeat(h, CAST((1024 + nb - 1) // nb AS BIGINT)), 1, 2048)
+                  END) AS resized_sha256
+    FROM p
+    """,
+)
 def x26_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing over binary payloads (operators/multimodal.
     resize_images): Arrow-batched mapInPandas, fixed 32×32-byte output
-    per row; deterministic content asserted in tests/test_units.py."""
+    per row; deterministic content asserted in tests/test_units.py AND
+    replayed exactly by the DuckDB oracle (portable hex-domain
+    fingerprint, see operator docstring)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_images(M.attach_payload(docs))
 

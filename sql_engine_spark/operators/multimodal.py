@@ -296,7 +296,15 @@ def frame_sample(
     scale the output is repartitioned by downstream keys, and payload
     bytes never pass through the driver. ``strict=False`` quarantines
     undecodable payloads as single (doc_id, error) rows (module
-    docstring) instead of failing the task."""
+    docstring) instead of failing the task.
+
+    Fingerprint domain (PORTABLE, the r6 md5-prefix-family move): the
+    frame checksum is sha256 over the UPPERCASE-HEX encoding of the
+    frame bytes, not the raw bytes — injective in the payload, so
+    dedup/integrity semantics are identical, and VARCHAR-only SQL
+    sha256 implementations (DuckDB has no sha256(BLOB)) replay it
+    exactly via sha256(substring(hex(encode(text)), ...)), which is
+    what makes x19 a hard oracle row."""
 
     def _rows(payload: bytes, meta) -> list[dict]:
         data = decode_media(payload, meta.get("mime", "application/octet-stream"))
@@ -308,7 +316,7 @@ def frame_sample(
                 {
                     "frame_idx": i,
                     "frame_bytes": len(frame),
-                    "frame_sha256": hashlib.sha256(frame).hexdigest(),
+                    "frame_sha256": hashlib.sha256(frame.hex().upper().encode()).hexdigest(),
                 }
             )
         return out
@@ -342,7 +350,12 @@ def resize_images(
     width·height bytes, so batch shape, schema, and determinism are
     fully exercised. Swap the inner function for a Pillow call and
     nothing else changes. ``strict=False`` quarantines undecodable
-    payloads (module docstring) instead of failing the task."""
+    payloads (module docstring) instead of failing the task.
+
+    The checksum uses the same PORTABLE fingerprint domain as
+    :func:`frame_sample` (sha256 over uppercase hex, injective in the
+    bytes) so the x26 oracle can replay it with VARCHAR-only SQL
+    sha256: hex(cycled payload) == cycled hex, byte-aligned."""
     target = width * height
 
     def _resize_bytes(data: bytes) -> bytes:
@@ -359,7 +372,7 @@ def resize_images(
                 "width": width,
                 "height": height,
                 "resized_bytes": len(r),
-                "resized_sha256": hashlib.sha256(r).hexdigest(),
+                "resized_sha256": hashlib.sha256(r.hex().upper().encode()).hexdigest(),
             }
         ]
 

@@ -67,7 +67,10 @@ def test_frame_sample_matches_local_recomputation(spark, sf_dir):
         n_frames = (len(data) + 63) // 64
         for i in range(0, n_frames, 4):
             frame = data[i * 64 : (i + 1) * 64]
-            expect[(r.doc_id, i)] = (len(frame), hashlib.sha256(frame).hexdigest())
+            expect[(r.doc_id, i)] = (
+                len(frame),
+                hashlib.sha256(frame.hex().upper().encode()).hexdigest(),
+            )
     assert got == expect
 
 
@@ -118,7 +121,9 @@ def test_resize_images_deterministic(spark, sf_dir):
         data = r.text.encode("utf-8")
         reps = (1024 + len(data) - 1) // len(data)
         expect = (data * reps)[:1024]
-        assert got[r.doc_id] == (32, 32, 1024, hashlib.sha256(expect).hexdigest())
+        assert got[r.doc_id] == (
+            32, 32, 1024, hashlib.sha256(expect.hex().upper().encode()).hexdigest(),
+        )
 
 
 def test_io_round_trips_all_formats(spark, sf_dir, tmp_path):
