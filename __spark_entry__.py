@@ -40,35 +40,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-6 head: every entry whose implementation (or oracle)
-    # changed after its last official row — the r6 hard-oracle
-    # conversions (portable-hash MinHash/SimHash, batch-replay
-    # sessionize), the x69 NULL-text oracle change, the multimodal
-    # encode fix, and the entries of the otherwise-touched files
-    # (pipeline.py contamination, similarity.py conf parse, the other
-    # dedup.py residents) ------------------------------------------
-    "x04_dedup_minhash_lsh", "x05_dedup_simhash", "s02_stream_sessionize",
-    "x69_quarantine_classes", "x32_multimodal_decode", "x16_multimodal_features",
-    "x26_multimodal_resize", "x63_image_dup_pairs",
-    "x33_contamination", "x59_semantic_dedup",
-    "x02_dedup_ngram_jaccard", "x03_dedup_survivors",
-    # -- unchanged code, OLDEST official rows first (VERDICT r5 #6:
-    # the r01 rows not refreshed in r05) ----------------------------
-    "g19_window_topn", "g20_scalar_subquery",
-    "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "g23_exists",
-    "g24_derived_table", "g25_regexp", "g26_bit_shift", "g27_date_funcs",
-    "g28_math_funcs", "g29_cube", "q4_order_priority", "q12_priority_class",
-    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
-    "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
-    # -- unchanged code, r02 rows next in line ----------------------
-    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
-    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
-    "q22_sales_opportunity",
-    "x01_dedup_exact",
-    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
-    "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
-    "s05_stream_session_window", "s06_stream_interval_join",
+    # -- round-7 head: entries whose implementation or oracle changed
+    # after their r6 official row — the portable hex-domain
+    # fingerprint + new hard oracles (x19/x26), the s02 cents tie-rule
+    # unification, the x04/x05 banding-constant refactor of dedup.py's
+    # minhash section, the similarity.py conf-parse extraction (x59),
+    # and the other multimodal.py residents -------------------------
+    "x19_multimodal_frames", "x26_multimodal_resize", "s02_stream_sessionize",
+    "x04_dedup_minhash_lsh", "x05_dedup_simhash", "x59_semantic_dedup",
+    "x32_multimodal_decode", "x16_multimodal_features",
+    "x63_image_dup_pairs", "x69_quarantine_classes",
+    # -- unchanged code, OLDEST official rows first: the r02 rows the
+    # r6 window did not reach ---------------------------------------
+    "s06_stream_interval_join",
     "x34_tfidf_topterms", "x35_sequence_packing",
     "x36_regex_scrub", "x37_repetition", "x39_vocab_oov",
     "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
@@ -76,8 +60,7 @@ _DRIVER_ORDER = [
     "s07_stream_static_enrich",
     "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
     "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
-    "x15_window_tumbling_batch", "x17_text_bpe_tokens",
-    "x19_multimodal_frames", "x21_salted_agg",
+    "x15_window_tumbling_batch", "x17_text_bpe_tokens", "x21_salted_agg",
     # -- unchanged code, r03/r04 rows -------------------------------
     "x20_dedup_components", "x38_containment", "x44_cross_source_dups",
     "x51_span_dups", "x55_crossmodal_agreement",
@@ -101,7 +84,7 @@ _DRIVER_ORDER = [
     "x54_incremental_dedup",
     "x56_chunk_dedup", "x57_component_splits", "x58_weighted_sample",
     "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
-    # -- r05 rows (freshest: re-ran last round) ---------------------
+    # -- r05 rows ---------------------------------------------------
     "e01_scan_project", "e02_star", "e03_filter_comparisons",
     "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",
     "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
@@ -111,6 +94,22 @@ _DRIVER_ORDER = [
     "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
     "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
     "g18_null_handling",
+    # -- r06 rows (freshest: re-ran last round, code unchanged) -----
+    "x33_contamination", "x02_dedup_ngram_jaccard", "x03_dedup_survivors",
+    "g19_window_topn", "g20_scalar_subquery",
+    "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "g23_exists",
+    "g24_derived_table", "g25_regexp", "g26_bit_shift", "g27_date_funcs",
+    "g28_math_funcs", "g29_cube", "q4_order_priority", "q12_priority_class",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
+    "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
+    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
+    "q22_sales_opportunity",
+    "x01_dedup_exact",
+    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
+    "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
+    "s05_stream_session_window",
 ]
 
 
@@ -126,8 +125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible entry.
-    Entries absent here (SRP-ANN/IVF probes, SemDeDup, k-means, image
-    resize/frames) are seeded-approximate or binary-payload ops →
-    rows-only check; MinHash/SimHash/stateful-sessionize became hard
-    oracle rows in r6 via portable-hash / batch-replay oracles."""
+    The 7 entries absent here (SRP-ANN/IVF probes, SemDeDup, k-means,
+    HLL sketches ×2, PNG-pixel dup pairs) are seeded-approximate,
+    error-bounded, or need zlib inflate → rows-only check.
+    MinHash/SimHash/stateful-sessionize became hard oracle rows in r6
+    (portable md5-prefix hashes / batch replay); frame-sample and
+    resize in r7 (byte-aligned hex-domain replay)."""
     return _driver_sorted(dict(matrix.ORACLE))
