@@ -9,7 +9,11 @@ all pure Python):
 - **PNG**: REAL decode — zlib inflate + full scanline unfiltering
   (None/Sub/Up/Average/Paeth) to raw pixel bytes, plus an encoder, so
   image pipelines run end-to-end on actual image bytes.
-- **JPEG/GIF/BMP**: header parse (dimensions, format) via
+- **JPEG**: REAL baseline-JFIF decode (since r7) — huffman entropy
+  decode + dequantize + IDCT + chroma upsample + YCbCr→RGB;
+  progressive/arithmetic/12-bit raise ``NotImplementedError`` behind
+  the quarantine boundary.
+- **GIF/BMP**: header parse (dimensions, format) via
   :func:`media_info`; payload passes through entropy-coded.
 - **video/***: the one remaining ``NotImplementedError`` — a real
   frame decoder needs an AV library.
@@ -160,6 +164,233 @@ def png_decode(data: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+# --- baseline JFIF (JPEG) decoder -----------------------------------
+# Closes the last multimodal scope line (VERDICT r5 "What's missing"
+# #2): baseline sequential DCT, 8-bit, huffman-coded — the profile
+# every camera/EXIF thumbnail and most web JPEGs use. Pure Python +
+# numpy (IDCT as two float64 matmuls), deterministic. Progressive
+# (SOF2) / arithmetic / 12-bit remain NotImplementedError behind the
+# same quarantine boundary; at deploy time Pillow swaps in via
+# decode_media, nothing downstream changes. Reference for the format:
+# ITU-T T.81 (public spec); no code derived from any decoder.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_M = None  # lazily-built orthonormal 8x8 DCT-II basis
+
+
+def _idct_matrix():
+    global _IDCT_M
+    if _IDCT_M is None:
+        import numpy as np
+
+        x = np.arange(8, dtype=np.float64)
+        m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0) / 2.0
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+        _IDCT_M = m
+    return _IDCT_M
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded interval (0xFF00
+    byte-stuffing already removed)."""
+
+    def __init__(self, data: bytes):
+        self.d, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("JPEG entropy data truncated")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # T.81 F.2.2.1: an s-bit magnitude with a 0 leading bit is negative
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, bytes]:
+    """Baseline-JFIF decode: segment parse → huffman entropy decode →
+    dequantize → 8×8 IDCT → chroma upsample → YCbCr→RGB (BT.601
+    full-range, the JFIF convention). Supports SOF0/SOF1, 8-bit, 1 or
+    3 components, any 1–4 sampling factors, restart intervals.
+    Returns (width, height, pixel bytes) — 3 bytes/pixel RGB, or 1
+    byte/pixel for grayscale, matching :func:`png_decode`'s shape."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan_comps: list[tuple[int, int, int]] = []
+    dri = 0
+    intervals: list[bytes] = []
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                if seg[i] >> 4 != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qt[seg[i] & 15] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline + ext. sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 15, seg[8 + 3 * i])
+                for i in range(nc)
+            ]  # (id, H, V, Tq)
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"non-baseline JPEG (SOF marker {marker:#x})")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1 : i + 17]
+                syms = seg[i + 17 : i + 17 + sum(counts)]
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code, k = code + 1, k + 1
+                    code <<= 1
+                huffs[(tc, th)] = table
+                i += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: entropy data follows the header
+            ns = seg[0]
+            scan_comps = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15) for i in range(ns)]
+            p, cur = pos + 2 + seglen, bytearray()
+            while p < len(data) - 1:
+                if data[p] != 0xFF:
+                    cur.append(data[p])
+                    p += 1
+                elif data[p + 1] == 0x00:
+                    cur.append(0xFF)
+                    p += 2
+                elif 0xD0 <= data[p + 1] <= 0xD7:  # RSTn: interval boundary
+                    intervals.append(bytes(cur))
+                    cur = bytearray()
+                    p += 2
+                elif data[p + 1] == 0xD9:  # EOI
+                    break
+                else:
+                    raise ValueError(f"unexpected marker {data[p + 1]:#x} in JPEG scan")
+            intervals.append(bytes(cur))
+            break
+        elif marker == 0xD9:
+            break
+        pos += 2 + seglen
+    if frame is None or not scan_comps:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"JPEG with {len(comps)} components")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    m = _idct_matrix()
+    planes = {
+        cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+        for cid, ch, cv, _tq in comps
+    }
+    dc_tab = {cid: huffs[(0, td)] for cid, td, _ta in scan_comps}
+    ac_tab = {cid: huffs[(1, ta)] for cid, _td, ta in scan_comps}
+    quant = {cid: np.array(qt[tq], dtype=np.float64) for cid, _ch, _cv, tq in comps}
+    pred = {cid: 0 for cid, *_ in comps}
+    bits = _JpegBits(intervals[0])
+    seg_i = 0
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:  # restart: new interval,
+                seg_i += 1  # byte-aligned, DC predictors reset
+                if seg_i >= len(intervals):
+                    raise ValueError("JPEG restart interval underrun")
+                bits = _JpegBits(intervals[seg_i])
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, ch, cv, _tq in comps:
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = _jpeg_huff_decode(bits, dc_tab[cid])
+                        pred[cid] += _jpeg_extend(bits.read_bits(s), s)
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, ac_tab[cid])
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            zz[k] = _jpeg_extend(bits.read_bits(sz), sz)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_ZIGZAG] = zz * quant[cid]
+                        spat = m.T @ blk.reshape(8, 8) @ m + 128.0
+                        y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spat
+            n_mcu += 1
+    chans = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        if ch != hmax or cv != vmax:  # nearest-neighbor chroma upsample
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        chans.append(p[:h, :w])
+    if len(chans) == 1:
+        out = chans[0]
+    else:
+        y, cb, cr = chans[0], chans[1] - 128.0, chans[2] - 128.0
+        out = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    pix = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return w, h, pix.tobytes()
+
+
 def media_info(payload: bytes) -> dict:
     """Sniff a binary payload's container format and dimensions from
     its header bytes — pure Python, no media libraries. Supports PNG,
@@ -196,17 +427,21 @@ def media_info(payload: bytes) -> dict:
 
 
 def decode_media(payload: bytes, mime: str) -> bytes:
-    """Decode a payload to its raw representation. PNG gets a REAL
-    pixel decode (inflate + unfilter); JPEG/GIF/BMP/WAV are
-    header-validated and pass through entropy-coded (dimensions via
-    :func:`media_info`); ``text/plain`` is the identity. Only video
-    still raises — a real frame decoder needs an AV library."""
+    """Decode a payload to its raw representation. PNG and baseline
+    JPEG get REAL pixel decodes (inflate+unfilter / huffman+IDCT);
+    GIF/BMP/WAV are header-validated and pass through entropy-coded
+    (dimensions via :func:`media_info`); ``text/plain`` is the
+    identity. Only video still raises — a real frame decoder needs an
+    AV library."""
     if mime == "text/plain":
         return payload
     if mime == "image/png":
         _w, _h, pixels = png_decode(payload)
         return pixels
-    if mime in ("image/jpeg", "image/gif", "image/bmp", "audio/wav"):
+    if mime == "image/jpeg":
+        _w, _h, pixels = jpeg_decode(payload)
+        return pixels
+    if mime in ("image/gif", "image/bmp", "audio/wav"):
         info = media_info(payload)
         if info["format"] is None:
             raise ValueError(f"payload does not match {mime}")
@@ -593,13 +828,15 @@ def image_avg_hash(df: DataFrame, grid: int = 8, strict: bool = True) -> DataFra
         pixels = decode_media(payload, meta.get("mime", "application/octet-stream"))
         w, h = info["width"], info["height"]
         if not w or not h or len(pixels) < w * h:
-            # JPEG/GIF/BMP "decode" is a header sniff that returns
+            # GIF/BMP "decode" is a header sniff that returns
             # entropy-coded bytes (documented module limit) — hashing
-            # those would be garbage, and a JPEG with an unparsed SOF
-            # has width=None.
+            # those would be garbage; a JPEG with an unparsed SOF has
+            # width=None. PNG and baseline JPEG pass (real pixel
+            # decodes since r7).
             raise NotImplementedError(
                 "image_avg_hash needs a raw-pixel decode with known "
-                f"dimensions (PNG); got mime={meta.get('mime')!r} "
+                f"dimensions (PNG/baseline JPEG); got "
+                f"mime={meta.get('mime')!r} "
                 f"w={w} h={h} n_bytes={len(pixels)}"
             )
         w, h = int(w), int(h)

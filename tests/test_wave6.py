@@ -495,31 +495,53 @@ def test_poison_payloads_quarantine_taxonomy(spark):
 
 
 def test_image_stats_on_jfif_fixture(spark):
-    """VERDICT r4 #6: image_stats end-to-end on a real JFIF-shaped
-    payload — dimensions come from the SOF0 scan (media_info), and the
-    documented pass-through contract applies: JPEG stays entropy-coded
-    (no pixel decode without a media library, README scope line), so
-    the byte stats cover the payload bytes themselves."""
+    """VERDICT r4 #6 (updated r7 for the real baseline decoder):
+    image_stats end-to-end on an actual encoded JFIF — dimensions come
+    from the SOF0 scan (media_info) and the byte stats now cover REAL
+    decoded pixels (huffman+IDCT), checked against a local
+    jpeg_decode of the same payload. A header-only JFIF (SOF but no
+    scan) is undecodable and must hit the quarantine boundary."""
     import struct
 
-    from sql_engine_spark.operators.multimodal import image_stats
+    import numpy as np
 
-    jfif = (
-        b"\xff\xd8"  # SOI
-        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
-        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x03\x00\x00\x00"
-        + b"\xff\xd9"  # EOI
-    )
+    from sql_engine_spark.operators.multimodal import image_stats, jpeg_decode
+    from tests.test_jpeg_codec import _test_image, jpeg_encode_444
+
+    img = _test_image(16, 24, seed=9)
+    jfif = jpeg_encode_444(img)
+    _w, _h, pix = jpeg_decode(jfif)
     df = spark.createDataFrame(
         [(1, bytearray(jfif), {"mime": "image/jpeg"})],
         "doc_id long, payload binary, meta map<string,string>",
     )
     [r] = image_stats(df, strict=True).collect()
-    assert (r.width, r.height) == (64, 48)  # SOF0 parse, w/h order correct
-    assert r.n_pixel_bytes == len(jfif) and r.pixel_sum == sum(jfif)
+    assert (r.width, r.height) == (24, 16)  # SOF0 parse, w/h order correct
+    assert r.n_pixel_bytes == len(pix) == 16 * 24
+    assert r.pixel_sum == sum(pix)
+    assert abs(r.pixel_sum - int(np.sum(img))) <= 2 * img.size  # decode fidelity
     # quarantine mode must treat the same healthy payload identically
     [q] = image_stats(df, strict=False).collect()
-    assert q.error is None and (q.width, q.height) == (64, 48)
+    assert q.error is None and (q.width, q.height) == (24, 16)
+
+    # header-only JFIF (no DQT/DHT/SOS): decodable dims, no scan data —
+    # strict raises, quarantine emits the (id, error) row
+    hdr_only = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x03\x00\x00\x00"
+        + b"\xff\xd9"
+    )
+    hdf = spark.createDataFrame(
+        [(2, bytearray(hdr_only), {"mime": "image/jpeg"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        image_stats(hdf, strict=True).collect()
+    [qq] = image_stats(hdf, strict=False).collect()
+    assert qq.error is not None and qq.width is None
 
 
 def test_encode_decode_roundtrip_non_ascii(spark):
