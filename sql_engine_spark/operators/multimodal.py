@@ -257,6 +257,9 @@ def jpeg_decode(data: bytes) -> tuple[int, int, bytes]:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = data[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT

@@ -346,3 +346,16 @@ def test_avg_hash_agrees_across_png_and_jpeg(spark):
             for r in image_avg_hash(df, strict=True).collect()}
     flips = sum(bin(a ^ b).count("1") for a, b in zip(rows[1], rows[2]))
     assert flips <= 4, flips
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2: any marker may be preceded by extra 0xFF fill
+    bytes; real camera files contain them. Inject some before SOF/SOS
+    and assert identical pixels."""
+    img = _test_image(16, 16, seed=13)
+    data = jpeg_encode_444(img)
+    filled = data.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1).replace(
+        b"\xff\xda", b"\xff\xff\xff\xff\xda", 1
+    )
+    assert filled != data
+    assert jpeg_decode(filled) == jpeg_decode(data)
