@@ -340,3 +340,16 @@ def test_sketch_profile_categoricals_skip_sketch_scan(spark, sf_dir):
     plan = _plan(df)
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_arrow_multimodal_stages_prune_scan_columns(spark, sf_dir):
+    """The r5 ReadSchema fix, pinned for the r7 hard-oracle entries:
+    mapInPandas blocks Catalyst column pruning, so every Arrow payload
+    stage pre-selects its consumed columns. The documents scan feeding
+    x19 frames / x26 resize must read only (doc_id, text, source) —
+    never lang or n_chars."""
+    for name in ("x19_multimodal_frames", "x26_multimodal_resize"):
+        plan = _formatted(matrix.QUERIES[name](spark, sf_dir))
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "text" in read_schema, (name, read_schema)
+        assert "lang" not in read_schema and "n_chars" not in read_schema, (name, read_schema)
