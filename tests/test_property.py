@@ -412,3 +412,78 @@ def test_funnel_transition_maps_compose(seq, cut):
     composed = tuple(right[left[s]] for s in range(len(steps) + 1))
     assert composed == tmap(seq)
     assert composed[0] == walk(0, seq)
+
+
+# --- round-7 surfaces: no Spark needed, so full example budgets -----
+
+@given(
+    img=st.integers(min_value=0, max_value=2**32 - 1).flatmap(
+        lambda seed: st.tuples(
+            st.just(seed),
+            st.integers(min_value=8, max_value=20),
+            st.integers(min_value=8, max_value=20),
+        )
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(img):
+    """Any random grayscale image must roundtrip the baseline codec
+    within the flat-quant DCT rounding bound."""
+    import numpy as np
+
+    from sql_engine_spark.operators.multimodal import jpeg_decode
+    from tests.test_jpeg_codec import jpeg_encode_444
+
+    seed, h, w = img
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    w2, h2, out = jpeg_decode(jpeg_encode_444(pix))
+    assert (w2, h2) == (w, h)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(h, w)
+    err = np.abs(got.astype(int) - pix.astype(int))
+    # pure noise is the worst case for DCT coefficient rounding; the
+    # per-pixel error stays bounded by the sum of |IDCT| row weights
+    assert err.max() <= 6, err.max()
+
+
+@given(v=st.decimals(min_value="-10000.00", max_value="10000.00", places=2).map(float))
+@settings(max_examples=200, deadline=None)
+def test_cents_tie_rule_matches_duckdb(v):
+    """ADVICE r6, generalized: the operator's half-up cents fold must
+    equal DuckDB's floor(v*100 + 0.5) for EVERY 2-decimal value —
+    including the exact-binary-.5 ties where Python round() diverges."""
+    import math
+
+    import duckdb
+
+    py = int(math.floor(v * 100 + 0.5))
+    (sql,) = duckdb.sql(f"SELECT CAST(floor(({v!r})*100 + 0.5) AS BIGINT)").fetchone()
+    assert py == sql, (v, py, sql)
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_resize_hex_replay_matches_operator(data):
+    """x26's oracle algebra on arbitrary bytes: hex(byte-cycled
+    payload) == cycled hex, so the DuckDB replay reproduces the
+    operator's portable fingerprint for ANY payload, not just the
+    corpus."""
+    import hashlib
+
+    import duckdb
+
+    target = 1024
+    if not data:
+        resized = bytes(target)
+    else:
+        reps = (target + len(data) - 1) // len(data)
+        resized = (data * reps)[:target]
+    op_fp = hashlib.sha256(resized.hex().upper().encode()).hexdigest()
+    hexed = data.hex().upper()
+    if not data:
+        sql_expr = f"sha256(repeat('00', {target}))"
+    else:
+        reps = (target + len(data) - 1) // len(data)
+        sql_expr = f"sha256(substring(repeat('{hexed}', {reps}), 1, {2 * target}))"
+    (sql_fp,) = duckdb.sql(f"SELECT {sql_expr}").fetchone()
+    assert op_fp == sql_fp
