@@ -81,7 +81,13 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir, events
             F.min("ts").alias("session_start"),
             F.max("ms").alias("end_ms"),
             F.count(F.lit(1)).alias("n_events"),
-            from_cents(F.sum(cents("value"))).alias("sum_value"),
+            # the operator's exact fold: floor(v*100 + 0.5), NOT
+            # cents()'s HALF_UP round — identical for non-negative
+            # values but divergent on negative exact-.5 ties, so the
+            # parity expectation must mirror the operator bit-for-bit
+            from_cents(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))).alias(
+                "sum_value"
+            ),
         )
     )
     max_ms = events_batch.agg(F.max(F.unix_millis("ts"))).first()[0]
