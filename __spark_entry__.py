@@ -40,37 +40,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-7 head: entries whose implementation or oracle changed
-    # after their r6 official row — the portable hex-domain
-    # fingerprint + new hard oracles (x19/x26), the s02 cents tie-rule
-    # unification, the x04/x05 banding-constant refactor of dedup.py's
-    # minhash section, the similarity.py conf-parse extraction (x59),
-    # and the other multimodal.py residents -------------------------
-    "x19_multimodal_frames", "x26_multimodal_resize", "s02_stream_sessionize",
-    "x04_dedup_minhash_lsh", "x05_dedup_simhash", "x59_semantic_dedup",
-    "x32_multimodal_decode", "x16_multimodal_features",
+    # -- round-8 head: multimodal.py was rewritten after every
+    # resident's r7 row (stored-deflate png_encode + exact-rational
+    # aHash threshold — the x63 hard-oracle conversion, VERDICT r7 #1
+    # — plus the two ADVICE r7 JPEG fixes), so all six residents
+    # re-run, the converted entry first ------------------------------
     "x63_image_dup_pairs", "x69_quarantine_classes",
-    # -- unchanged code, OLDEST official rows first: the r02 rows the
-    # r6 window did not reach ---------------------------------------
-    "s06_stream_interval_join",
-    "x34_tfidf_topterms", "x35_sequence_packing",
-    "x36_regex_scrub", "x37_repetition", "x39_vocab_oov",
-    "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
-    "x43_bigram_rarity", "x45_split_assignment",
-    "s07_stream_static_enrich",
-    "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
-    "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
-    "x15_window_tumbling_batch", "x17_text_bpe_tokens", "x21_salted_agg",
-    # -- unchanged code, r03/r04 rows -------------------------------
-    "x20_dedup_components", "x38_containment", "x44_cross_source_dups",
-    "x51_span_dups", "x55_crossmodal_agreement",
-    "x46_source_cap", "x47_token_budget",
-    "x64_source_divergence", "x65_quality_dedup", "x66_event_funnel",
-    "x60_kmeans_refine",
-    "x67_retention_cohorts", "x68_event_anomalies",
-    "s09_stream_late_accounting",
-    "x22_text_sentiment", "x23_hierarchical_rollup", "x24_asof_join",
-    "x25_range_join", "x27_skyline",
+    "x32_multimodal_decode", "x16_multimodal_features",
+    "x19_multimodal_frames", "x26_multimodal_resize",
+    # wave6.py residents with pre-r7 rows (file carries the new x63
+    # oracle) --------------------------------------------------------
+    "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
+    # -- unchanged code, OLDEST official rows first: the r03/r04
+    # cohort the r7 window did not reach (VERDICT r7 #5) -------------
     "x28_stratified_sample", "x29_sketch_profile", "x30_mergeable_distinct",
     "x31_embedding_centroid",
     "g32_array_funcs", "g33_window_frames", "g34_grouping_sets", "g35_pivot",
@@ -83,7 +65,6 @@ _DRIVER_ORDER = [
     "x52_quality_stratified", "x53_dup_cluster_stats",
     "x54_incremental_dedup",
     "x56_chunk_dedup", "x57_component_splits", "x58_weighted_sample",
-    "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
     # -- r05 rows ---------------------------------------------------
     "e01_scan_project", "e02_star", "e03_filter_comparisons",
     "e04_filter_andor_tree", "e05_negative_literal", "e06_cross_join",
@@ -94,7 +75,7 @@ _DRIVER_ORDER = [
     "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
     "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
     "g18_null_handling",
-    # -- r06 rows (freshest: re-ran last round, code unchanged) -----
+    # -- r06 rows ---------------------------------------------------
     "x33_contamination", "x02_dedup_ngram_jaccard", "x03_dedup_survivors",
     "g19_window_topn", "g20_scalar_subquery",
     "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
@@ -110,6 +91,27 @@ _DRIVER_ORDER = [
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
     "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
     "s05_stream_session_window",
+    # -- r07 rows (freshest: re-ran last round, code unchanged) -----
+    "s02_stream_sessionize", "x04_dedup_minhash_lsh", "x05_dedup_simhash",
+    "x59_semantic_dedup",
+    "s06_stream_interval_join",
+    "x34_tfidf_topterms", "x35_sequence_packing",
+    "x36_regex_scrub", "x37_repetition", "x39_vocab_oov",
+    "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
+    "x43_bigram_rarity", "x45_split_assignment",
+    "s07_stream_static_enrich",
+    "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
+    "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
+    "x15_window_tumbling_batch", "x17_text_bpe_tokens", "x21_salted_agg",
+    "x20_dedup_components", "x38_containment", "x44_cross_source_dups",
+    "x51_span_dups", "x55_crossmodal_agreement",
+    "x46_source_cap", "x47_token_budget",
+    "x64_source_divergence", "x65_quality_dedup", "x66_event_funnel",
+    "x60_kmeans_refine",
+    "x67_retention_cohorts", "x68_event_anomalies",
+    "s09_stream_late_accounting",
+    "x22_text_sentiment", "x23_hierarchical_rollup", "x24_asof_join",
+    "x25_range_join", "x27_skyline",
 ]
 
 
@@ -125,10 +127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible entry.
-    The 7 entries absent here (SRP-ANN/IVF probes, SemDeDup, k-means,
-    HLL sketches ×2, PNG-pixel dup pairs) are seeded-approximate,
-    error-bounded, or need zlib inflate → rows-only check.
-    MinHash/SimHash/stateful-sessionize became hard oracle rows in r6
-    (portable md5-prefix hashes / batch replay); frame-sample and
-    resize in r7 (byte-aligned hex-domain replay)."""
+    The 6 entries absent here (SRP-ANN/IVF probes, SemDeDup, k-means,
+    HLL sketches ×2) are seeded-approximate or error-bounded by
+    design → rows-only check. MinHash/SimHash/stateful-sessionize
+    became hard oracle rows in r6 (portable md5-prefix hashes / batch
+    replay); frame-sample and resize in r7 (byte-aligned hex-domain
+    replay); image dup pairs in r8 (stored-deflate payloads +
+    exact-rational aHash threshold)."""
     return _driver_sorted(dict(matrix.ORACLE))

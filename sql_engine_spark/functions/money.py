@@ -26,7 +26,16 @@ from pyspark.sql import functions as F
 
 
 def cents(col: Column | str, scale: int = 100) -> Column:
-    """Exact integer representation of a quantized double column."""
+    """Exact integer representation of a quantized double column.
+
+    Tie rule: Spark ``round`` is HALF_UP away from zero (-12.5 → -13).
+    The stateful sessionizer's Python-side fold
+    (streaming/stateful.py) instead uses ``floor(v*100 + 0.5)`` —
+    half toward +inf, -12.5 → -12 — because ITS contract partner is
+    the s02 DuckDB replay oracle, not this function. The two folds
+    agree on every non-negative value and on all non-.5 ties, i.e.
+    everywhere in the corpus; do NOT "unify" them without re-deriving
+    both oracles (ADVICE r7)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * scale).cast("long")
 

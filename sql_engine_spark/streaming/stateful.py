@@ -84,8 +84,13 @@ def _sessionize_fn(
         # floor(v*100 + 0.5), NOT round(): Python round() is half-to-even
         # while the DuckDB replay oracle's round() is half-away-from-zero,
         # so values whose v*100 is an exact binary .5 (0.125, 2.375)
-        # would diverge by 1 cent (ADVICE r6). Both sides now use the
-        # same explicit half-up fold, sign-independent by construction.
+        # would diverge by 1 cent (ADVICE r6). Both sides use the same
+        # explicit fold. NOTE this rounds half toward +inf (-12.5 → -12),
+        # which DIVERGES from money.cents()'s Spark HALF_UP
+        # (-12.5 → -13) on negative exact-.5 ties — harmless on the
+        # non-negative 2-decimal corpus, mirrored exactly by the s02
+        # oracle, and intentionally NOT unified (ADVICE r7): see
+        # functions/money.py.
         v_cents = int(math.floor(value * 100 + 0.5))
         if start_ms is None:
             start_ms, end_ms, n, cents_sum = t_ms, t_ms, 1, v_cents

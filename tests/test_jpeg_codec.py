@@ -359,3 +359,31 @@ def test_jpeg_fill_bytes_between_segments():
     )
     assert filled != data
     assert jpeg_decode(filled) == jpeg_decode(data)
+
+
+def test_jpeg_fill_bytes_inside_scan_before_eoi():
+    """T.81 B.1.1.2 again, but INSIDE the entropy-coded scan: EOI may
+    be preceded by 0xFF fill bytes (FF FF D9 padding — real encoders
+    emit it). The header-loop tolerance alone did not cover this
+    (ADVICE r7): the scan-extraction loop must also skip them."""
+    img = _test_image(16, 16, seed=29)
+    data = jpeg_encode_444(img)
+    assert data[-2:] == b"\xff\xd9"
+    padded = data[:-2] + b"\xff\xff" + data[-2:]
+    assert jpeg_decode(padded) == jpeg_decode(data)
+
+
+def test_jpeg_non_integer_sampling_ratio_raises():
+    """A stream mixing H=V=3 luma with H=V=2 chroma has a 3:2
+    luma/chroma ratio — valid JPEG, but np.repeat-based upsampling
+    cannot express it. Must raise a TYPED NotImplementedError (into
+    the x69 quarantine taxonomy), not an opaque np.stack shape error
+    (ADVICE r7)."""
+    img = np.stack([_test_image(16, 16, s) for s in (31, 32, 33)], axis=2)
+    data = jpeg_encode_420(img)
+    patched = data.replace(bytes([1, 0x22, 0]), bytes([1, 0x33, 0]), 1).replace(
+        bytes([2, 0x11, 0]), bytes([2, 0x22, 0]), 1
+    )
+    assert patched != data
+    with pytest.raises(NotImplementedError, match="sampling ratio"):
+        jpeg_decode(patched)

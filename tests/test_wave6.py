@@ -163,18 +163,20 @@ def _py_ahash(text: str, width: int = 16, grid: int = 8):
     stride = width * 3
     h = max(1, (len(data) + stride - 1) // stride)
     pixels = data.ljust(width * h * 3, b"\x00")
-    arr = (
+    # exact-rational threshold, mirroring image_avg_hash (r8):
+    # cell_mean > global_mean ⟺ sum_c * N > S * cnt_c in int64
+    g3 = (
         np.frombuffer(pixels, dtype=np.uint8)
         .reshape(h, width, 3)
-        .astype(np.float64)
-        .mean(axis=2)
+        .astype(np.int64)
+        .sum(axis=2)
     )
     ri = (np.arange(h) * grid) // h
     ci = (np.arange(width) * grid) // width
     cell = (ri[:, None] * grid + ci[None, :]).ravel()
-    sums = np.bincount(cell, weights=arr.ravel(), minlength=grid * grid)
+    sums = np.bincount(cell, weights=g3.ravel(), minlength=grid * grid).astype(np.int64)
     cnts = np.bincount(cell, minlength=grid * grid)
-    bits = (sums / np.maximum(cnts, 1)) > arr.mean()
+    bits = sums * (width * h) > int(g3.sum()) * cnts
     return tuple(
         sum((1 << off) for off in range(16) if bits[b * 16 + off]) for b in range(4)
     )
