@@ -46,14 +46,16 @@ _DRIVER_ORDER = [
     # — plus the two ADVICE r7 JPEG fixes), so all six residents
     # re-run, the converted entry first ------------------------------
     "x63_image_dup_pairs", "x69_quarantine_classes",
+    "x30_mergeable_distinct",
     "x32_multimodal_decode", "x16_multimodal_features",
     "x19_multimodal_frames", "x26_multimodal_resize",
-    # wave6.py residents with pre-r7 rows (file carries the new x63
-    # oracle) --------------------------------------------------------
+    # sketches.py / wave6.py residents with pre-r7 rows (the files
+    # carry the new x30/x63 hard oracles) ----------------------------
+    "x29_sketch_profile",
     "x61_epoch_upsample", "x62_phrase_mining", "s08_stream_ingest_dedup",
     # -- unchanged code, OLDEST official rows first: the r03/r04
     # cohort the r7 window did not reach (VERDICT r7 #5) -------------
-    "x28_stratified_sample", "x29_sketch_profile", "x30_mergeable_distinct",
+    "x28_stratified_sample",
     "x31_embedding_centroid",
     "g32_array_funcs", "g33_window_frames", "g34_grouping_sets", "g35_pivot",
     "g36_not_in_subquery", "g37_intersect_except_all", "g38_cte_reuse",
@@ -127,11 +129,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible entry.
-    The 6 entries absent here (SRP-ANN/IVF probes, SemDeDup, k-means,
-    HLL sketches ×2) are seeded-approximate or error-bounded by
-    design → rows-only check. MinHash/SimHash/stateful-sessionize
-    became hard oracle rows in r6 (portable md5-prefix hashes / batch
-    replay); frame-sample and resize in r7 (byte-aligned hex-domain
-    replay); image dup pairs in r8 (stored-deflate payloads +
-    exact-rational aHash threshold)."""
+    The 5 entries absent here (SRP-ANN/IVF probes, SemDeDup, k-means,
+    and the x29 profile whose quantile sketch is engine-internal) are
+    seeded-approximate or error-bounded by design → rows-only check.
+    MinHash/SimHash/stateful-sessionize became hard oracle rows in r6
+    (portable md5-prefix hashes / batch replay); frame-sample and
+    resize in r7 (byte-aligned hex-domain replay); image dup pairs
+    (stored-deflate payloads + exact-rational aHash threshold) and the
+    mergeable HLL (portable registers + lut'd linear counting) in
+    r8."""
     return _driver_sorted(dict(matrix.ORACLE))

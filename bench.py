@@ -25,8 +25,10 @@ Methodology (round-2 upgrades per VERDICT.md):
 Headline set: the three TPC-H-style plans (scan-agg, filtered 3-way
 join top-k, 6-way broadcast join), the heaviest Tier-X pipelines
 (near-dup dedup exact + LSH, similarity pair mining, sessionization),
-and a streaming window run — the queries whose plans decide whether
-the engine survives a 100× scale-up.
+the Arrow-stage image decode path (x32, added r8 — the one hot
+payload-touching family, previously with no longitudinal perf
+record), and a streaming window run — the queries whose plans decide
+whether the engine survives a 100× scale-up.
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ BENCH_QUERIES = [
     "x14_sessionize_batch",
     "x27_skyline",
     "x29_sketch_profile",
+    "x32_multimodal_decode",
     "x33_contamination",
     "x34_tfidf_topterms",
     "x35_sequence_packing",
@@ -86,7 +89,9 @@ BENCH_QUERIES = [
 # comparisons across queries aren't read as one sample size (ADVICE
 # r4).
 RUNS_OVERRIDE = {
+    "q18_large_orders": 5,  # VERDICT r7 #4: most spread-prone flagship ([0.897,1.309] at n=3) — n=5 settles noise vs regression
     "x29_sketch_profile": 5,
+    "x32_multimodal_decode": 5,  # VERDICT r7 #2: first longitudinal record of the Arrow decode path — n=5 for a solid first bracket
     "x33_contamination": 5,
     "x38_containment": 5,
     "x56_chunk_dedup": 5,  # VERDICT r5 #5: 0.46→0.80 s driver drift on untouched code — n=5 decides noise vs real

@@ -8,9 +8,12 @@ Oracle coverage: everything SQL-expressible carries a DuckDB oracle
 (including exact n-gram Jaccard dedup, brute-force cosine top-k, the
 *streaming* tumbling-window aggregation — bounded complete-mode equals
 batch — and, since r6, MinHash LSH and SimHash, whose portable-hash
-signatures DuckDB replays integer-exactly). Remaining rows-only ops
-(SRP-ANN, IVF, SemDeDup, k-means) are seeded-approximate by design and
-recall/equivalence-tested against their exact twins in tests/.
+signatures DuckDB replays integer-exactly; since r8 also the mergeable
+HLL x30, via portable md5 registers and a lut'd linear-counting term).
+Remaining rows-only ops (SRP-ANN, IVF, SemDeDup, k-means, and x29
+whose quantile sketch is engine-internal) are seeded-approximate or
+error-bounded by design and recall/equivalence-tested against their
+exact twins in tests/.
 """
 
 from __future__ import annotations
@@ -1021,8 +1024,11 @@ def x29_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass sketch profile of lineitem (operators/sketches.py):
     HyperLogLog distinct counts, quantile-sketch p50/p95, exact heavy
     hitters — the scan-once data-profiling pass a 100 TB ingest runs
-    first. Approximate by construction → rows-only check here; error
-    bounds vs exact recomputation are asserted in tests/test_sketches.py."""
+    first. Stays rows-only even after x30's r8 portable-HLL
+    conversion: the profile's p50/p95 come from Spark's internal
+    Greenwald-Khanna quantile sketch, whose compaction state is not
+    SQL-replayable — error bounds vs exact recomputation are asserted
+    in tests/test_sketches.py instead."""
     from sql_engine_spark.operators.sketches import profile_table
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1033,16 +1039,88 @@ def x29_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x30_mergeable_distinct")  # DataSketches HLL binaries → rows-only
+def _dlit(x: float) -> str:
+    """Exact DOUBLE literal for DuckDB: repr round-trips the value, and
+    an exponent marker forces DOUBLE (not DECIMAL) parsing."""
+    r = repr(x)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def _x30_hll_sql() -> str:
+    """Full DuckDB replay of the portable-register HLL: same 60-bit
+    md5-prefix hash (hex fold), same register max, same exact-int64
+    harmonic sum, same two float ops. Constants are imported from the
+    sketches module and formatted verbatim, so the oracle cannot
+    desync from the operator (the x04 pattern)."""
+    from sql_engine_spark.operators.sketches import (
+        _HLL_SCALE,
+        _HLL_W,
+        HLL_EST_CONST,
+        HLL_LINEAR_LUT,
+        HLL_M,
+        HLL_P,
+    )
+
+    wmax = _HLL_W + 1
+    # The linear-counting table, verbatim — same doubles the Spark plan
+    # carries (repr round-trips exactly; runtime libm ln is platform-
+    # divergent, see the sketches module comment). The e0 suffix forces
+    # DuckDB to parse each literal as DOUBLE — a bare decimal parses as
+    # DECIMAL(16,11), one significant digit short of repr round-trip.
+    lut = "[" + ", ".join(_dlit(x) for x in HLL_LINEAR_LUT) + "]"
+    return f"""
+    WITH hsh AS (
+      SELECT source,
+             list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                          for i in range(1, 16)], (a, b) -> a * 16 + b) AS h
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    rk AS (
+      SELECT source, h % {HLL_M} AS idx,
+             CASE WHEN (h // {1 << HLL_P}) = 0 THEN {wmax}
+                  ELSE {wmax} - length(ltrim(bin(h // {1 << HLL_P}), '0')) END AS m
+      FROM hsh
+    ),
+    regs AS (
+      SELECT source AS grp, idx, MAX(m) AS m FROM rk GROUP BY source, idx
+      UNION ALL
+      SELECT '__total__' AS grp, idx, MAX(m) AS m FROM rk GROUP BY idx
+    ),
+    agg AS (
+      SELECT grp,
+             SUM(CAST(1 AS BIGINT) << ({wmax} - m)) AS sp,
+             COUNT(*) AS nr
+      FROM regs GROUP BY grp
+    ),
+    e AS (
+      SELECT grp,
+             CAST(sp + ({HLL_M} - nr) * CAST({_HLL_SCALE} AS BIGINT) AS DOUBLE) AS s,
+             {HLL_M} - nr AS v
+      FROM agg
+    )
+    SELECT grp AS "group",
+           CASE WHEN ({HLL_EST_CONST!r} / s) <= {2.5 * HLL_M!r} AND v > 0
+                THEN ({lut})[CAST(greatest(v, 1) AS INTEGER)]
+                ELSE {HLL_EST_CONST!r} / s END AS approx_distinct
+    FROM e
+    """
+
+
+@query("x30_mergeable_distinct", oracle=_x30_hll_sql())
 def x30_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable DataSketches HLL: per-source distinct doc vocabulary
-    sketches + a __total__ row from the sketch UNION (no second scan) —
-    the shard-then-merge shape incremental 100 TB profiling needs
-    (operators/sketches.mergeable_distinct)."""
-    from sql_engine_spark.operators.sketches import mergeable_distinct
+    """Mergeable per-source HLL distinct + a __total__ row from the
+    register-wise sketch UNION (no second scan) — the shard-then-merge
+    shape incremental 100 TB profiling needs. HARD oracle since r8
+    (VERDICT r7 #7): the portable-register HLL
+    (operators/sketches.portable_hll_distinct — md5-derived registers,
+    exact-int64 harmonic fold, ln input space enumerated bit-stable)
+    replays fully in DuckDB; the DataSketches binary variant
+    (sketches.mergeable_distinct) remains the drop-in alternative and
+    the two are agreement-pinned in tests/test_sketches.py."""
+    from sql_engine_spark.operators.sketches import portable_hll_distinct
 
     docs = load_table(spark, sf_dir, "documents")
-    return mergeable_distinct(docs, "source", "doc_id")
+    return portable_hll_distinct(docs, "source", "doc_id")
 
 
 @query(
