@@ -353,3 +353,23 @@ def test_arrow_multimodal_stages_prune_scan_columns(spark, sf_dir):
         read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
         assert "text" in read_schema, (name, read_schema)
         assert "lang" not in read_schema and "n_chars" not in read_schema, (name, read_schema)
+
+
+def test_portable_hll_partial_max_prune_and_exchange_reuse(spark, sf_dir):
+    """The x30 portable HLL's scale contract (r8): register folding is
+    a map-side-combined MAX on (group, idx) — reducer state is
+    register-bounded, never cardinality-bounded; the scan reads only
+    (doc_id, source); and the __total__ union branch rides a
+    ReusedExchange of the per-group register shuffle at execution time
+    instead of re-scanning the table."""
+    from sql_engine_spark.operators.sketches import portable_hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = portable_hll_distinct(docs, "source", "doc_id")
+    plan = _plan(df)
+    assert "partial_max" in plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+    df.collect()  # AQE applies ReuseExchange in the FINAL plan only
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
