@@ -525,3 +525,38 @@ def test_shuffle_conf_parse_is_defensive(spark):
         assert _shuffle_conf_partitions(s) == want, raw
     # real-session sanity: the live conf (an int string) parses
     assert _shuffle_conf_partitions(spark) > 0
+
+
+def test_png_stored_deflate_layout_and_multiblock_roundtrip():
+    """The r8 stored-deflate encoder contract: (a) sub-64 KiB payloads
+    carry ONE stored block, so pixel bytes sit at the documented fixed
+    offsets (48-byte header, then h scanlines of 1+width*3 bytes) —
+    the property the x63 DuckDB oracle's text-domain replay rests on;
+    (b) filtered data past 65535 bytes spans MULTIPLE stored blocks and
+    still roundtrips (zlib reads them transparently)."""
+    import struct
+
+    from sql_engine_spark.operators.multimodal import png_decode, png_encode
+
+    # (a) single-block layout: width 16 like encode_text_as_png
+    w, h = 16, 7
+    pixels = bytes((x * 131 + 5) % 256 for x in range(w * h * 3))
+    png = png_encode(pixels, w, h)
+    (idat_len,) = struct.unpack(">I", png[33:37])
+    assert png[37:41] == b"IDAT"
+    # zlib hdr (2) + stored-block hdr (5) + filtered data + adler (4)
+    assert idat_len == 2 + 5 + h * (1 + w * 3) + 4
+    assert png[43] == 0x01  # BFINAL=1, BTYPE=00 (stored)
+    stride = w * 3
+    for y in range(h):
+        off = 48 + y * (1 + stride)
+        assert png[off] == 0  # filter byte
+        assert png[off + 1 : off + 1 + stride] == pixels[y * stride : (y + 1) * stride]
+    assert png_decode(png) == (w, h, pixels)
+
+    # (b) multi-block: 120 rows x 200 px x 3 = 72 KB filtered > 65535
+    w, h = 200, 120
+    pixels = bytes((x * 31 + y) % 256 for y in range(h) for x in range(w * 3))
+    png = png_encode(pixels, w, h)
+    assert h * (1 + w * 3) > 65535  # genuinely spans >1 stored block
+    assert png_decode(png) == (w, h, pixels)
