@@ -892,7 +892,13 @@ def image_avg_hash(df: DataFrame, grid: int = 8, strict: bool = True) -> DataFra
         sums = np.bincount(cell, weights=g3.ravel(), minlength=grid * grid).astype(np.int64)
         cnts = np.bincount(cell, minlength=grid * grid)
         total, npix = int(g3.sum()), w * h
-        bits = sums * npix > total * cnts  # empty cells stay 0
+        # Cross-multiply in PYTHON ints (64 cells, negligible): the
+        # products reach ~1020·npix², which silently wraps numpy int64
+        # for images past ~90 MP — a real payload size on a 100 TB
+        # multimodal crawl. Empty cells stay 0 (0 > 0 is false).
+        bits = [
+            int(sums[c]) * npix > total * int(cnts[c]) for c in range(grid * grid)
+        ]
         row = {}
         for b in range(4):
             val = 0

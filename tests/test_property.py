@@ -487,3 +487,48 @@ def test_resize_hex_replay_matches_operator(data):
         sql_expr = f"sha256(substring(repeat('{hexed}', {reps}), 1, {2 * target}))"
     (sql_fp,) = duckdb.sql(f"SELECT {sql_expr}").fetchone()
     assert op_fp == sql_fp
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_image_avg_hash_matches_bigint_rule_random(spark, w, h, seed):
+    """The r8 exact-rational aHash threshold on arbitrary image shapes:
+    operator bits == the pure big-int rule sum_c·N > S·cnt_c (computed
+    here in Python arbitrary-precision ints — the same domain the
+    operator uses for the cross-multiplication, so no silent int64
+    wrap at any image size)."""
+    import random as _random
+
+    import numpy as np
+
+    from sql_engine_spark.operators.multimodal import image_avg_hash, png_encode
+
+    rng = _random.Random(seed)
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    df = spark.createDataFrame(
+        [(1, bytearray(png_encode(pixels, w, h)), {"mime": "image/png"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    row = image_avg_hash(df, strict=True).collect()[0]
+    got = (row.band0, row.band1, row.band2, row.band3)
+
+    g3 = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3).astype(np.int64).sum(axis=2)
+    ri = (np.arange(h) * 8) // h
+    ci = (np.arange(w) * 8) // w
+    cell = (ri[:, None] * 8 + ci[None, :]).ravel()
+    sums = [0] * 64
+    cnts = [0] * 64
+    for c, g in zip(cell, g3.ravel()):
+        sums[c] += int(g)
+        cnts[c] += 1
+    total, npix = sum(sums), w * h
+    bits = [sums[c] * npix > total * cnts[c] for c in range(64)]
+    want = tuple(
+        sum((1 << off) for off in range(16) if bits[b * 16 + off]) for b in range(4)
+    )
+    assert got == want, (w, h, got, want)
