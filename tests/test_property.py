@@ -532,3 +532,54 @@ def test_image_avg_hash_matches_bigint_rule_random(spark, w, h, seed):
         sum((1 << off) for off in range(16) if bits[b * 16 + off]) for b in range(4)
     )
     assert got == want, (w, h, got, want)
+
+
+@given(
+    texts=st.lists(
+        st.text(max_size=200), min_size=1, max_size=6, unique=True
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_x63_band_sql_replay_matches_python(texts):
+    """The x63 oracle's signature algebra on ARBITRARY unicode text
+    (not just the corpus): run the oracle SQL verbatim — retargeted at
+    its `sig` CTE — over an in-memory documents table and compare the
+    four 16-bit bands against a pure-Python recomputation of the
+    encode→pad→cell-sum→big-int-rule chain. Together with
+    test_image_avg_hash_matches_bigint_rule_random (operator == rule)
+    this closes the operator == SQL loop for any multibyte input."""
+    import duckdb
+    import pandas as pd
+
+    from sql_engine_spark.matrix.wave6 import _x63_ahash_sql
+
+    sql = _x63_ahash_sql()
+    tail = "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"
+    assert tail in sql  # retarget must track the oracle's final SELECT
+    sig_sql = sql.replace(
+        tail, "SELECT doc_id, band0, band1, band2, band3 FROM sig ORDER BY doc_id"
+    )
+
+    def bands(text: str) -> tuple[int, int, int, int]:
+        data = text.encode("utf-8")
+        ph = max(1, (len(data) + 47) // 48)
+        pixels = data.ljust(16 * ph * 3, b"\x00")
+        sums, cnts = [0] * 64, [0] * 64
+        for pi in range(16 * ph):
+            c = (((pi // 16) * 8) // ph) * 8 + ((pi % 16) * 8) // 16
+            sums[c] += pixels[3 * pi] + pixels[3 * pi + 1] + pixels[3 * pi + 2]
+            cnts[c] += 1
+        ts, tn = sum(sums), 16 * ph
+        bits = [sums[c] * tn > ts * cnts[c] for c in range(64)]
+        return tuple(
+            sum((1 << off) for off in range(16) if bits[b * 16 + off]) for b in range(4)
+        )
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = {int(r[0]): tuple(int(v) for v in r[1:]) for r in con.sql(sig_sql).fetchall()}
+    want = {i: bands(t) for i, t in enumerate(texts)}
+    assert got == want
