@@ -27,6 +27,8 @@ Accuracy bounds are asserted in tests/ against exact recomputation
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -185,8 +187,6 @@ def mergeable_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFra
 # construction AND platform-independent at 1000 executors, which a
 # libm call never is. Flajolet et al. 2007 estimator shape; original
 # implementation.
-
-import math
 
 HLL_P = 12
 HLL_M = 1 << HLL_P  # 4096 registers

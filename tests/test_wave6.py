@@ -176,7 +176,10 @@ def _py_ahash(text: str, width: int = 16, grid: int = 8):
     cell = (ri[:, None] * grid + ci[None, :]).ravel()
     sums = np.bincount(cell, weights=g3.ravel(), minlength=grid * grid).astype(np.int64)
     cnts = np.bincount(cell, minlength=grid * grid)
-    bits = sums * (width * h) > int(g3.sum()) * cnts
+    # Python ints like the operator's r8 guard — numpy int64 would wrap
+    # past ~90 MP and silently diverge from the code this mirrors
+    total, npix = int(g3.sum()), width * h
+    bits = [int(sums[c]) * npix > total * int(cnts[c]) for c in range(grid * grid)]
     return tuple(
         sum((1 << off) for off in range(16) if bits[b * 16 + off]) for b in range(4)
     )
