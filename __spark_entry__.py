@@ -47,6 +47,11 @@ _DRIVER_ORDER = [
     # re-run, the converted entry first ------------------------------
     "x63_image_dup_pairs", "x69_quarantine_classes",
     "x30_mergeable_distinct",
+    # similarity.py residents: x07 converted to a hard oracle late in
+    # r8 (left-fold query bands + plane-literal SQL replay), so the
+    # file's residents re-run, the converted entry first -------------
+    "x07_sim_ann_lsh", "x06_sim_topk_brute", "x08_sim_dup_pairs",
+    "x18_sim_ivf",
     "x32_multimodal_decode", "x16_multimodal_features",
     "x19_multimodal_frames", "x26_multimodal_resize",
     # sketches.py / wave6.py residents with pre-r7 rows (the files
@@ -90,7 +95,6 @@ _DRIVER_ORDER = [
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
     "q22_sales_opportunity",
     "x01_dedup_exact",
-    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x18_sim_ivf", "x08_sim_dup_pairs",
     "s01_stream_tumbling", "s03_stream_sliding", "s04_stream_dedup",
     "s05_stream_session_window",
     # -- r07 rows (freshest: re-ran last round, code unchanged) -----

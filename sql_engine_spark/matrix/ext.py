@@ -9,11 +9,12 @@ Oracle coverage: everything SQL-expressible carries a DuckDB oracle
 *streaming* tumbling-window aggregation — bounded complete-mode equals
 batch — and, since r6, MinHash LSH and SimHash, whose portable-hash
 signatures DuckDB replays integer-exactly; since r8 also the mergeable
-HLL x30, via portable md5 registers and a lut'd linear-counting term).
-Remaining rows-only ops (SRP-ANN, IVF, SemDeDup, k-means, and x29
-whose quantile sketch is engine-internal) are seeded-approximate or
-error-bounded by design and recall/equivalence-tested against their
-exact twins in tests/.
+HLL x30, via portable md5 registers and a lut'd linear-counting term,
+and SRP-LSH ANN x07, whose plane-literal left-fold signatures and
+cosine rerank replay bit-exactly). Remaining rows-only ops (IVF,
+SemDeDup, k-means, and x29 whose quantile sketch is engine-internal)
+are seeded-approximate or error-bounded by design and
+recall/equivalence-tested against their exact twins in tests/.
 """
 
 from __future__ import annotations
@@ -71,6 +72,13 @@ def _fold_sum(elems: str) -> str:
     return f"list_reduce(list_prepend(0.0, {elems}), (a, b) -> a + b)"
 
 
+def _dlit(x: float) -> str:
+    """Exact DOUBLE literal for DuckDB: repr round-trips the value, and
+    an exponent marker forces DOUBLE (not DECIMAL) parsing."""
+    r = repr(x)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
 def _dot(u: str, v: str) -> str:
     return _fold_sum(f"list_transform(range(1, len({u})+1), i -> {u}[i]*{v}[i])")
 
@@ -102,6 +110,71 @@ p AS (
 )
 SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4
 """
+
+def _x07_ann_sql() -> str:
+    """Full DuckDB replay of the SRP-LSH ANN search (r8, rows-only →
+    hard oracle): the 16 hyperplanes are imported from the operator and
+    formatted verbatim as repr'd double literals — the SAME doubles
+    with_srp_bands parses JVM-side — and every dot product on both the
+    corpus and query side is the left-to-right fold of `_fold_sum`,
+    matching F.aggregate's order exactly (the x64 χ² precedent). Sign
+    bits, band packing, the any-band candidate filter, and the exact
+    cosine rerank (the already-portable x06 algebra: IEEE sqrt and
+    division are correctly rounded, unlike ln) therefore replay
+    bit-exactly — verified 0 mismatches over all three corpus SFs in
+    the r8 spike. Plane literals are generated at dim=64, the corpus
+    embedding width."""
+    from sql_engine_spark.operators.similarity import (
+        ANN_BANDS,
+        ANN_PLANES,
+        ANN_SEED,
+        _hyperplanes,
+    )
+
+    dim = 64
+    planes = _hyperplanes(dim, ANN_PLANES, ANN_SEED)
+    per = ANN_PLANES // ANN_BANDS
+    pl = "[" + ", ".join("[" + ", ".join(_dlit(v) for v in p) + "]" for p in planes) + "]"
+
+    def bit(vec: str, p: int) -> str:
+        prods = f"list_transform(range(1, {dim}+1), i -> {vec}[i] * pl[{p + 1}][i])"
+        return f"(CASE WHEN {_fold_sum(prods)} > 0.0 THEN 1 ELSE 0 END)"
+
+    def bands(vec: str) -> str:
+        return ",\n         ".join(
+            " + ".join(f"{bit(vec, b * per + i)} * {1 << i}" for i in range(per))
+            + f" AS band{b}"
+            for b in range(ANN_BANDS)
+        )
+
+    any_band = " OR ".join(f"eb.band{b} = qb.band{b}" for b in range(ANN_BANDS))
+    return f"""
+    WITH p AS (SELECT {pl} AS pl),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    eb AS (SELECT vec_id, ev,
+         {bands("ev")}
+       FROM e, p),
+    qb AS (SELECT qv,
+         {bands("qv")}
+       FROM q, p),
+    cand AS (
+      SELECT eb.vec_id, eb.ev, qb.qv FROM eb, qb
+      WHERE ({any_band}) AND eb.vec_id <> 0
+    ),
+    s AS (
+      SELECT vec_id,
+             {_dot("ev", "qv")} AS dp,
+             {_dot("ev", "ev")} AS na,
+             {_dot("qv", "qv")} AS nb
+      FROM cand
+    )
+    SELECT vec_id FROM s
+    ORDER BY CASE WHEN sqrt(na)*sqrt(nb) <> 0.0 THEN dp/(sqrt(na)*sqrt(nb)) END DESC,
+             vec_id ASC
+    LIMIT 10
+    """
+
 
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
 
@@ -282,10 +355,16 @@ def x06_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, qv, k=10, exclude_id=0)
 
 
-@query("x07_sim_ann_lsh")  # approximate (SRP buckets) → rows-only; recall-tested vs x06
+@query("x07_sim_ann_lsh", oracle=_x07_ann_sql())
 def x07_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via signed-random-projection buckets + exact rerank
-    (operators/similarity.ann_topk): probes ~17/65536 buckets."""
+    (operators/similarity.ann_topk): probes ~17/65536 buckets. HARD
+    oracle since r8: plane literals + left-fold dots replay the
+    signatures, candidate filter, and cosine rerank bit-exactly in
+    DuckDB (_x07_ann_sql; query bands use the same left fold as the
+    corpus side since r8, so they agree by construction, not by
+    summation luck). Recall vs the exact x06 baseline remains pinned
+    in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = S.get_vector(emb, 0)
     return S.ann_topk(emb, qv, k=10, exclude_id=0).select("vec_id")
@@ -1037,13 +1116,6 @@ def x29_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
         categorical_cols=["l_returnflag", "l_linestatus"],
     )
-
-
-def _dlit(x: float) -> str:
-    """Exact DOUBLE literal for DuckDB: repr round-trips the value, and
-    an exponent marker forces DOUBLE (not DECIMAL) parsing."""
-    r = repr(x)
-    return r if "e" in r or "E" in r else r + "e0"
 
 
 def _x30_hll_sql() -> str:

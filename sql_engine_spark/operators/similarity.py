@@ -126,7 +126,17 @@ def with_srp_bands(
 
 def _query_bands(query_vec: list[float], n_planes: int, n_bands: int, seed: int) -> list[int]:
     planes = _hyperplanes(len(query_vec), n_planes, seed)
-    bits = [1 if float(np.dot(query_vec, p)) > 0 else 0 for p in planes]
+    bits = []
+    for p in planes:
+        # LEFT-FOLD, not np.dot: the corpus side's aggregate() is a
+        # left-to-right IEEE fold, and np.dot's pairwise/SIMD summation
+        # could flip the sign of a near-zero dot — query and corpus
+        # bands must come from the SAME summation order, which is also
+        # what lets the x07 oracle recompute these bands in SQL (r8).
+        acc = 0.0
+        for x, y in zip(query_vec, p):
+            acc += float(x) * float(y)
+        bits.append(1 if acc > 0 else 0)
     per = n_planes // n_bands
     return [sum(bits[b * per + i] << i for i in range(per)) for b in range(n_bands)]
 

@@ -583,3 +583,48 @@ def test_x63_band_sql_replay_matches_python(texts):
     got = {int(r[0]): tuple(int(v) for v in r[1:]) for r in con.sql(sig_sql).fetchall()}
     want = {i: bands(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+        min_size=64,
+        max_size=64,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_srp_query_bands_match_sql_fold(vec):
+    """x07's r8 coherence contract on arbitrary vectors: the operator's
+    Python left-fold query bands equal the oracle's DuckDB left-fold
+    bands (same plane literals, same summation order) — the link that
+    makes query-side and corpus-side SRP signatures agree by
+    construction rather than by summation luck."""
+    import duckdb
+
+    from sql_engine_spark.matrix.ext import _dlit, _fold_sum
+    from sql_engine_spark.operators.similarity import (
+        ANN_BANDS,
+        ANN_PLANES,
+        ANN_SEED,
+        _hyperplanes,
+        _query_bands,
+    )
+
+    want = _query_bands(vec, ANN_PLANES, ANN_BANDS, ANN_SEED)
+
+    planes = _hyperplanes(64, ANN_PLANES, ANN_SEED)
+    per = ANN_PLANES // ANN_BANDS
+    pl = "[" + ", ".join("[" + ", ".join(_dlit(v) for v in p) + "]" for p in planes) + "]"
+    qv = "[" + ", ".join(_dlit(float(x)) for x in vec) + "]"
+
+    def bit(p):
+        prods = f"list_transform(range(1, 65), i -> qv[i] * pl[{p + 1}][i])"
+        return f"(CASE WHEN {_fold_sum(prods)} > 0.0 THEN 1 ELSE 0 END)"
+
+    bands = ", ".join(
+        " + ".join(f"{bit(b * per + i)} * {1 << i}" for i in range(per)) for b in range(ANN_BANDS)
+    )
+    got = list(
+        duckdb.sql(f"WITH p AS (SELECT {pl} AS pl, {qv}::DOUBLE[] AS qv) SELECT {bands} FROM p").fetchone()
+    )
+    assert got == want
