@@ -373,3 +373,18 @@ def test_portable_hll_partial_max_prune_and_exchange_reuse(spark, sf_dir):
     df.collect()  # AQE applies ReuseExchange in the FINAL plan only
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
+
+
+def test_srp_ann_single_stage_no_shuffle(spark, sf_dir):
+    """The x07 SRP-ANN scale contract (a hard oracle row since r8):
+    signature computation and the any-band candidate filter are
+    scan-stage expressions — NO Exchange anywhere in the plan — the
+    exact rerank lowers to TakeOrderedAndProject (per-partition top-k,
+    no global sort), and nothing falls back to Python workers. At
+    100 TB this is the whole point: one scan, small-int filters, no
+    shuffle before or after the rerank."""
+    plan = _plan(matrix.QUERIES["x07_sim_ann_lsh"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    for node in ("InPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
