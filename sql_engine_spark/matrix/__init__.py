@@ -32,19 +32,51 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+ORACLE_BUILDERS: dict[str, Callable[[str], str]] = {}
+
+# The driver's correctness pass always runs at sf0.01 — the sf the
+# static ORACLE strings of data-dependent oracles are generated for.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
-def query(name: str, oracle: str | None = None):
+def query(
+    name: str,
+    oracle: str | None = None,
+    oracle_builder: Callable[[str], str] | None = None,
+):
     """Register a matrix entry; ``oracle=None`` marks a non-SQL-
-    expressible op (driver falls back to a rows-only check)."""
+    expressible op (driver falls back to a rows-only check).
+
+    ``oracle_builder`` registers a DATA-DEPENDENT oracle (r9): SQL
+    whose embedded literals derive deterministically from the corpus —
+    e.g. seeded k-means centroids retrained by the builder from the
+    same parquet the Spark side reads. The static ``ORACLE`` string is
+    generated once for the driver's contract sf (sf0.01, the only sf
+    the driver compares at); local multi-sf sweeps regenerate via
+    :func:`oracle_for_sf`. Builder failures (missing testdata) degrade
+    to a rows-only registration rather than breaking import."""
 
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if oracle_builder is not None:
+            try:
+                ORACLE[name] = oracle_builder(DRIVER_SF_DIR)
+                ORACLE_BUILDERS[name] = oracle_builder
+            except Exception:  # pragma: no cover - testdata absent
+                pass
         return fn
 
     return deco
+
+
+def oracle_for_sf(name: str, sf_dir: str) -> str:
+    """The oracle SQL valid at ``sf_dir``: rebuilt for data-dependent
+    oracles, the registered static string otherwise. Harnesses that
+    sweep non-driver sfs (tests, driver_sim) MUST go through this."""
+    b = ORACLE_BUILDERS.get(name)
+    return b(sf_dir) if b is not None else ORACLE[name]
 
 
 # --- oracle SQL shape helpers (mirror functions/money.py exactly) ----

@@ -176,6 +176,100 @@ def _x07_ann_sql() -> str:
     """
 
 
+# --- literal-centroid replay machinery (VERDICT r8 #1/#2, r9) --------
+# The IVF / SemDeDup / k-means oracles embed the trained quantizer
+# centroids as repr'd double literals, retrained by the BUILDER from a
+# DuckDB read of the same parquet rows the Spark side trains on
+# (float→double casts are exact, and both callers run the same
+# similarity._lloyd_np in the same process, so the centroids are
+# bit-identical by construction — the x07 plane-literal recipe extended
+# to data-dependent literals via matrix.ORACLE_BUILDERS). Everything
+# downstream of the centroids replays in SQL: unit vectors and centroid
+# dots are the same left-to-right folds as the JVM expressions, and the
+# argmax takes the FIRST max on both engines (Spark array_position ==
+# DuckDB list_position).
+
+
+def _load_embeddings_np(sf_dir: str):
+    """(ids, X) of the full embeddings table ordered by vec_id, as the
+    same float64 matrix Spark's orderBy-collect fetch produces."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def _centroid_lit(C) -> str:
+    return "[" + ", ".join("[" + ", ".join(_dlit(v) for v in row) + "]" for row in C) + "]"
+
+
+def _assign_ctes(C) -> str:
+    """CTE chain replaying similarity._with_list_assignment /
+    _assign_lists_arrow over the embeddings table: ``asg`` has
+    (vec_id, ev, uv, dots, list_id). The centroid literal is hoisted
+    into its own CTE column (the r8 DuckDB gotcha: a literal indexed
+    inside a lambda re-evaluates per element)."""
+    dim = len(C[0])
+    dots = (
+        "list_transform(cl, cc -> "
+        + _fold_sum(f"list_transform(range(1, {dim}+1), i -> uv[i]*cc[i])")
+        + ")"
+    )
+    return f"""c AS (SELECT {_centroid_lit(C)} AS cl),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    n AS (SELECT vec_id, ev, sqrt({_fold_sum('list_transform(ev, x -> x*x)')}) AS nrm FROM e),
+    u AS (SELECT vec_id, ev,
+          CASE WHEN nrm > 0.0 THEN list_transform(ev, x -> x/nrm) ELSE ev END AS uv FROM n),
+    d AS (SELECT vec_id, ev, uv, {dots} AS dots FROM u, c),
+    asg AS (SELECT vec_id, ev, uv, dots,
+            CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS list_id FROM d)"""
+
+
+def _x18_ivf_sql(sf_dir: str) -> str:
+    """Full DuckDB replay of the IVF probe (r9, rows-only → hard
+    oracle, the x07 recipe over data-dependent literals): retrain the
+    coarse quantizer from the same first-64k-ids sample, embed the
+    centroids, replay the scan-stage assignment (left-fold dots,
+    first-max argmax), the n_probe ``IN`` filter (probe ids computed
+    once by similarity.ivf_probe_order and embedded — driver-side on
+    both sides by construction), and the exact cosine rerank x06/x07
+    already replay bit-exactly."""
+    from sql_engine_spark.operators.similarity import (
+        IVF_TRAIN_MAX,
+        _lloyd_np,
+        ivf_probe_order,
+    )
+
+    ids, X = _load_embeddings_np(sf_dir)
+    C = _lloyd_np(X[:IVF_TRAIN_MAX], n_lists=16, seed=42)
+    qv = X[ids.index(0)]
+    probe = ", ".join(str(p) for p in ivf_probe_order(C, list(qv), n_probe=4))
+    return f"""
+    WITH {_assign_ctes(C)},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT vec_id, ev FROM asg WHERE list_id IN ({probe}) AND vec_id <> 0),
+    s AS (
+      SELECT vec_id,
+             {_dot("ev", "qv")} AS dp,
+             {_dot("ev", "ev")} AS na,
+             {_dot("qv", "qv")} AS nb
+      FROM cand, q
+    )
+    SELECT vec_id FROM s
+    ORDER BY CASE WHEN sqrt(na)*sqrt(nb) <> 0.0 THEN dp/(sqrt(na)*sqrt(nb)) END DESC,
+             vec_id ASC
+    LIMIT 10
+    """
+
+
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
 
 # --- portable-hash replay fragments (VERDICT r5 #2/#3) ---------------
@@ -764,11 +858,14 @@ def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x18_sim_ivf")  # kmeans coarse quantizer (seeded) → rows-only; recall-tested vs x06
+@query("x18_sim_ivf", oracle_builder=_x18_ivf_sql)
 def x18_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-10: seeded k-means inverted lists, probe the 4
     nearest of 16, exact cosine rerank (operators/similarity.ivf_topk —
-    the FAISS-IVF-Flat shape re-expressed as Spark partitioning)."""
+    the FAISS-IVF-Flat shape re-expressed as Spark partitioning).
+    HARD oracle since r9 (_x18_ivf_sql): builder-retrained centroid
+    literals + left-fold assignment replay + the x06/x07 exact rerank;
+    recall vs the exact x06 baseline remains pinned in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = S.get_vector(emb, 0)
     return S.ivf_topk(emb, qv, k=10, exclude_id=0).select("vec_id")

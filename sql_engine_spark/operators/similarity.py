@@ -222,6 +222,19 @@ def _with_list_assignment(df: DataFrame, C: "np.ndarray", vec_col: str) -> DataF
     )
 
 
+def ivf_probe_order(C: "np.ndarray", query_vec: list[float], n_probe: int) -> list[int]:
+    """The ``n_probe`` list ids nearest the query (centroid-dot order,
+    ties by list id). Driver-side over k centroids — negligible work.
+    Shared by :func:`ivf_topk` and the x18 oracle builder so the probe
+    set is ONE computation, not two copies that could drift."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    if qn > 0:
+        q = q / qn
+    order = sorted(range(len(C)), key=lambda i: -float(np.dot(C[i], q)))
+    return order[:n_probe]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -251,12 +264,7 @@ def ivf_topk(
     """
     C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
     assigned = _with_list_assignment(df, C, vec_col)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.linalg.norm(q))
-    if qn > 0:
-        q = q / qn
-    order = sorted(range(len(C)), key=lambda i: -float(np.dot(C[i], q)))
-    probe = order[:n_probe]
+    probe = ivf_probe_order(C, query_vec, n_probe)
     cands = assigned.filter(F.col("list_id").isin(*probe)).select(id_col, vec_col)
     return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)
 
@@ -284,6 +292,20 @@ def _train_spherical_quantizer(
         .collect()
     )
     X = np.asarray([r.v for r in rows], dtype=np.float64)
+    return _lloyd_np(X, n_lists, seed, max_iter)
+
+
+def _lloyd_np(
+    X: "np.ndarray", n_lists: int, seed: int, max_iter: int = 25
+) -> np.ndarray:
+    """The numpy Lloyd's core behind :func:`_train_spherical_quantizer`,
+    factored out so the x18/x59/x60 oracle builders can retrain from a
+    DuckDB read of the SAME rows (float→double parquet casts are exact,
+    so the input matrix is bit-identical) and embed the resulting
+    centroids as literals — one training procedure, two callers, no
+    copy to drift. Driver-side numpy throughout; determinism comes
+    from the seed and from both callers running the same code in the
+    same process."""
     norms = np.linalg.norm(X, axis=1)
     X = X / np.where(norms > 0, norms, 1.0)[:, None]
     k = min(n_lists, len(X))
@@ -457,30 +479,62 @@ def knn_classify(
     return truth.join(pred, "qid").select("qid", "true_label", "pred_label", "votes")
 
 
+def _fold_norms_np(M: "np.ndarray") -> np.ndarray:
+    """Row-wise ``sqrt(((0 + x₀·x₀) + x₁·x₁) + …)`` — the EXACT
+    arithmetic of the JVM expression ``sqrt(aggregate(v, 0D, (a,x) ->
+    a + x*x))`` and of DuckDB's ``list_reduce(list_prepend(0.0, …))``,
+    vectorized ACROSS rows instead of across dims: each loop step is
+    one correctly-rounded elementwise multiply and one add per lane,
+    and the loop runs the dims in the same left-to-right order as the
+    folds, so every lane reproduces the scalar fold bit-for-bit. This
+    order-pinned vectorized fold (r9) is what lets Arrow-stage numpy
+    join the JVM/DuckDB portability contract that previously only
+    scalar folds satisfied — at d=64 it costs d fused passes instead
+    of one gemm, an O(1) constant over the same memory traffic."""
+    acc = np.zeros(len(M), dtype=np.float64)
+    for t in range(M.shape[1]):
+        x = M[:, t]
+        acc = acc + x * x
+    return np.sqrt(acc)
+
+
+def _fold_dots_np(A: "np.ndarray", B: "np.ndarray") -> np.ndarray:
+    """(m,d)×(k,d) → (m,k) dot products as the left-fold over dims —
+    bit-identical to ``aggregate(zip_with(a, b, *), 0D, +)`` per pair
+    (see :func:`_fold_norms_np`). Replaces BLAS gemm wherever the dots
+    feed THRESHOLD or ARGMAX decisions an oracle must replay: gemm's
+    pairwise/SIMD summation is a different (and build-dependent)
+    rounding sequence, which is why the old equivalence test had to
+    skip near-tie rows. Memory: one (m,k) accumulator, d passes."""
+    out = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for t in range(A.shape[1]):
+        out = out + A[:, t, None] * B[None, :, t]
+    return out
+
+
 def _assign_lists_arrow(
     df: DataFrame, C: "np.ndarray", id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, list_id, unit) cluster assignment as ONE Arrow
     ``mapInPandas`` pass: normalize and argmax the centroid dots with
-    a single numpy gemm per batch. The scan-stage expression twin
-    (:func:`_with_list_assignment`) stays the right tool where the
-    assignment must remain JVM-side (IVF probe filters, partition
-    pruning); for :func:`semantic_dedup` the unit vectors cross into
-    Python immediately afterwards anyway (the gemm pair stage), and
-    the interpreted O(k·d)-per-row higher-order folds are the slow
-    path that also JIT-warms over several runs — vectorized numpy is
-    flat from call one (the ``_within_cluster_pairs`` lesson).
+    order-pinned vectorized folds (:func:`_fold_dots_np`). The
+    scan-stage expression twin (:func:`_with_list_assignment`) stays
+    the right tool where the assignment must remain JVM-side (IVF
+    probe filters, partition pruning); for :func:`semantic_dedup` the
+    unit vectors cross into Python immediately afterwards anyway (the
+    pair stage), and the interpreted O(k·d)-per-row higher-order folds
+    are the slow path that also JIT-warms over several runs —
+    vectorized numpy is flat from call one (the
+    ``_within_cluster_pairs`` lesson).
 
-    Equivalence with the expression twin is pytest-pinned but
-    APPROXIMATE by nature (ADVICE r4): the BLAS gemm's summation order
-    differs from the expression's sequential fold, so a vector whose
-    top-2 centroid dots are within a few ulps of each other can
-    legitimately argmax to either list across BLAS builds/SIMD paths.
-    The pinned test therefore skips rows whose winning margin is
-    < 1e-9; downstream (semantic_dedup) a near-tie flip moves a vector
-    between two clusters it sits equidistant from — a boundary case
-    SemDeDup's recall already treats as approximate."""
-    Ct = np.ascontiguousarray(C.T, dtype=np.float64)
+    Equivalence with the expression twin is pytest-pinned and EXACT
+    since r9: the fold helpers reproduce the JVM fold's rounding
+    sequence lane-for-lane (np.argmax and Spark's
+    ``array_position(dots, array_max(dots))`` both take the FIRST
+    max), so the old near-tie margin skip is gone — and the same
+    pinning is what makes the x59 semantic-dedup pair set hard-oracle
+    replayable in DuckDB."""
+    Cd = np.ascontiguousarray(C, dtype=np.float64)
     schema = "id long, list_id int, unit array<double>"
 
     def assign(batches):
@@ -490,9 +544,9 @@ def _assign_lists_arrow(
             if not len(pdf):
                 continue
             M = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-            nrm = np.linalg.norm(M, axis=1)
+            nrm = _fold_norms_np(M)
             U = M / np.where(nrm > 0, nrm, 1.0)[:, None]
-            lists = np.argmax(U @ Ct, axis=1).astype(np.int32)
+            lists = np.argmax(_fold_dots_np(U, Cd), axis=1).astype(np.int32)
             yield pd.DataFrame(
                 {"id": pdf[id_col].to_numpy(), "list_id": lists, "unit": list(U)}
             )
@@ -504,15 +558,18 @@ def _within_cluster_pairs(
     assigned: DataFrame, threshold: float, block: int = 1024
 ) -> DataFrame:
     """Exact cosine-≥-threshold pairs WITHIN each ``list_id`` group —
-    the SemDeDup inner loop — as a per-cluster ``applyInPandas`` gemm.
-    This is one of the sanctioned drops to the Arrow path: the pair
-    cosine is a dense all-pairs dot product, which Spark's
-    higher-order-function lambdas evaluate INTERPRETED per element
-    (~3M pairs × 64 dims was 20+ s at sf0.1); one BLAS gemm per
-    cluster does the same arithmetic in milliseconds and the Arrow
-    transfer is just n·d doubles per cluster.
+    the SemDeDup inner loop — as a per-cluster ``applyInPandas``
+    vectorized fold. This is one of the sanctioned drops to the Arrow
+    path: the pair cosine is a dense all-pairs dot product, which
+    Spark's higher-order-function lambdas evaluate INTERPRETED per
+    element (~3M pairs × 64 dims was 20+ s at sf0.1); d vectorized
+    accumulator passes per cluster (:func:`_fold_dots_np` — the
+    order-pinned fold that keeps every threshold decision bit-equal to
+    the DuckDB oracle's per-pair fold, r9) do the same arithmetic in
+    milliseconds and the Arrow transfer is just n·d doubles per
+    cluster.
 
-    Memory is bounded two ways: the gemm runs in ``block``-row stripes
+    Memory is bounded two ways: the fold runs in ``block``-row stripes
     (block × n, never n × n), and at 100 TB cluster size itself must
     be capped by raising ``n_lists`` with the corpus (SemDeDup's own
     recipe) — a cluster is one pandas group and must fit an executor.
@@ -528,7 +585,7 @@ def _within_cluster_pairs(
         out_a, out_b = [], []
         n = len(ids)
         for s in range(0, n, block):
-            G = M[s : s + block] @ M.T  # stripe × n
+            G = _fold_dots_np(M[s : s + block], M)  # stripe × n
             li, gj = np.nonzero(G >= threshold)
             gi = li + s
             keep = gi < gj  # strict upper triangle → id_a < id_b
@@ -639,9 +696,20 @@ def kmeans_refine(
     Output (one report row per cluster): (list_id, n_vectors,
     mean_cos) — mean cosine of members to their centroid, the
     cluster-tightness figure SemDeDup-style pipelines monitor.
-    Iterative + seeded-sample init → rows-only correctness; pytest
-    proves exact equivalence to a numpy Lloyd's run from the same
-    init on the collected corpus.
+
+    HARD oracle since r9. Every cross-engine sum goes through
+    micro-unit fixed point (``floor(x·10⁶ + 0.5)`` as BIGINT — the
+    x31 centroid / money-cents pattern): integer partials are
+    order-independent, so the distributed aggregation is bit-equal to
+    the oracle builder's sequential replay of the same iterations, and
+    ``mean_cos`` is DEFINED as the micro-unit mean (quantization
+    ~1e-6, far below the figure's monitoring use). The per-iteration
+    k·d driver update and its normalization replay in the builder
+    (same Python, same process); the scan-stage assignment and the
+    final report replay in DuckDB against the builder-embedded final
+    centroids. Overflow headroom: |micro-unit| ≤ 10⁶, so a BIGINT
+    group sum holds ~9·10¹² members per (cluster, dim) — comfortably
+    past a 100 TB corpus.
     """
     C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
     k = len(C)
@@ -650,7 +718,10 @@ def kmeans_refine(
         cells = (
             assigned.select("list_id", F.posexplode("__unit").alias("dim", "x"))
             .groupBy("list_id", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         newC = np.array(C, dtype=np.float64, copy=True)
@@ -660,19 +731,26 @@ def kmeans_refine(
             counts[r.list_id] = r.n
         for j in range(k):
             if counts[j] > 0:
-                newC[j] = newC[j] / counts[j]
+                # (s/10⁶)/n, two roundings in this order — mirrored
+                # verbatim by the oracle builder's replay.
+                newC[j] = (newC[j] / 1000000.0) / counts[j]
         nn = np.linalg.norm(newC, axis=1)
         C = newC / np.where(nn > 0, nn, 1.0)[:, None]
     final = _with_list_assignment(df, C, vec_col)
     # cosine to OWN centroid is by definition the max centroid dot —
     # already computed in __dots; re-deriving it would embed the k×d
     # literal twice and re-run the interpreted O(d) fold per row.
-    cos_to_own = F.array_max("__dots")
+    qcos = F.floor(F.array_max("__dots") * 1000000.0 + F.lit(0.5)).cast("long")
     return (
-        final.withColumn("__cos", cos_to_own)
+        final.withColumn("__qc", qcos)
         .groupBy("list_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.avg("__cos").alias("mean_cos"),
+            F.sum("__qc").alias("__s"),
+        )
+        .select(
+            "list_id",
+            "n_vectors",
+            ((F.col("__s").cast("double") / 1000000.0) / F.col("n_vectors")).alias("mean_cos"),
         )
     )

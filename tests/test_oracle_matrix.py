@@ -15,7 +15,10 @@ ROWS_ONLY_NAMES = sorted(set(matrix.QUERIES) - set(matrix.ORACLE))
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_match(spark, sf_dir, name):
     sdf = matrix.QUERIES[name](spark, sf_dir)
-    opdf = run_oracle(matrix.ORACLE[name], sf_dir)
+    # oracle_for_sf: data-dependent oracles (literal-centroid replays)
+    # regenerate their embedded literals for the sf under test; the
+    # driver itself always runs the static strings at sf0.01.
+    opdf = run_oracle(matrix.oracle_for_sf(name, sf_dir), sf_dir)
     ok, msg = compare(sdf, opdf)
     assert ok, f"{name}: {msg}"
 

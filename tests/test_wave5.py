@@ -270,14 +270,12 @@ def test_semantic_dedup_pairs_join_on_list(emb):
 def test_arrow_assignment_equals_expression_twin(emb):
     """`_assign_lists_arrow` (numpy mapInPandas, the semantic-dedup
     path) must agree with `_with_list_assignment` (scan expression,
-    the IVF path): same list_id, same unit vector to float precision.
-    The equivalence is approximate by nature (ADVICE r4): the BLAS
-    gemm and the sequential fold sum in different orders, so rows
-    whose top-2 centroid dots are within a few ulps can legitimately
-    flip — those near-ties are skipped (and counted, to prove the
-    skip stays rare)."""
-    from pyspark.sql import functions as F
-
+    the IVF path) BIT-EXACTLY: since r9 the Arrow stage computes its
+    norms and centroid dots with the order-pinned vectorized folds
+    (`_fold_norms_np`/`_fold_dots_np`), which reproduce the JVM
+    expression fold's rounding sequence lane-for-lane — the old
+    near-tie margin skip (ADVICE r4, BLAS-gemm order) is gone, and
+    this exactness is what makes the x59 pair set oracle-replayable."""
     C = S._train_spherical_quantizer(emb, "vec_id", "embedding", 8, S.ANN_SEED)
     arrow = {
         r.id: (r.list_id, np.asarray(r.unit))
@@ -290,44 +288,51 @@ def test_arrow_assignment_equals_expression_twin(emb):
         .collect()
     }
     assert set(arrow) == set(expr)
-    skipped = 0
     for i in arrow:
-        u = arrow[i][1]
-        dots = np.sort(C @ u)
-        if dots[-1] - dots[-2] < 1e-9:  # near-tie: argmax is build-dependent
-            skipped += 1
-            continue
         assert arrow[i][0] == expr[i][0], f"list_id mismatch at {i}"
-        assert np.allclose(arrow[i][1], expr[i][1], atol=1e-12)
-    assert skipped <= len(arrow) // 100  # near-ties must stay rare
+        assert np.array_equal(arrow[i][1], expr[i][1]), f"unit bits differ at {i}"
 
 
 # --- x60 k-means refinement ------------------------------------------
 
 
-def test_kmeans_refine_matches_numpy(emb, unit_vecs):
-    ids = sorted(unit_vecs)
-    X = np.vstack([unit_vecs[i] for i in ids])
+def test_kmeans_refine_matches_numpy(emb):
+    """Exact (bit-equality, since r9) mirror of the fixed-point Lloyd's
+    refinement: unit vectors via the pinned fold norms, assignment via
+    pinned fold dots, per-cluster sums in micro-units (floor(x·10⁶ +
+    0.5) int64 — order-independent, so the distributed agg equals this
+    sequential replay), update (s/10⁶)/n, and mean_cos defined as the
+    micro-unit mean. This is the same replay the x60 oracle builder
+    runs; bit-equality here is the evidence the hard oracle rests on."""
+    data = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    ids = sorted(data)
+    M = np.vstack([data[i] for i in ids])
+    nrm = S._fold_norms_np(M)
+    U = M / np.where(nrm > 0, nrm, 1.0)[:, None]
     C = S._train_spherical_quantizer(emb, "vec_id", "embedding", 8, S.ANN_SEED)
     for _ in range(3):
-        assign = np.argmax(X @ C.T, axis=1)
+        assign = np.argmax(S._fold_dots_np(U, C), axis=1)
         newC = np.array(C, copy=True)
         for j in range(len(C)):
             m = assign == j
             if m.any():
-                newC[j] = X[m].sum(axis=0) / m.sum()
+                s = np.floor(U[m] * 1000000.0 + 0.5).astype(np.int64).sum(axis=0)
+                newC[j] = (s.astype(np.float64) / 1000000.0) / int(m.sum())
         nn = np.linalg.norm(newC, axis=1)
         C = newC / np.where(nn > 0, nn, 1.0)[:, None]
-    assign = np.argmax(X @ C.T, axis=1)
+    dots = S._fold_dots_np(U, C)
+    assign = np.argmax(dots, axis=1)
     got = {r.list_id: (r.n_vectors, r.mean_cos) for r in S.kmeans_refine(emb, 8, iterations=3).collect()}
     for j in range(len(C)):
         m = assign == j
         if not m.any():
             assert j not in got
             continue
-        n, mc = int(m.sum()), float((X[m] @ C[j]).mean())
+        n = int(m.sum())
+        qc = int(np.floor(dots[m, j] * 1000000.0 + 0.5).astype(np.int64).sum())
+        mc = (float(qc) / 1000000.0) / n
         assert got[j][0] == n
-        assert got[j][1] == pytest.approx(mc, abs=1e-9)
+        assert got[j][1] == mc, f"mean_cos bits differ for cluster {j}"
 
 
 def test_kmeans_refine_improves_tightness(emb):

@@ -36,7 +36,13 @@ def main() -> None:
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
-                opdf = run_oracle(oracles[name], sf_dir)
+                # data-dependent oracles regenerate per sf (the driver
+                # itself runs the static sf0.01 strings — identical
+                # when sf_dir is sf0.01).
+                from sql_engine_spark import matrix as _m
+
+                sql = _m.oracle_for_sf(name, sf_dir) if name in _m.ORACLE_BUILDERS else oracles[name]
+                opdf = run_oracle(sql, sf_dir)
                 ok, msg = compare(sdf, opdf)
             else:
                 # noop write, NOT count(): count() lets Spark prune
