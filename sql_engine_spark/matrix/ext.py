@@ -11,10 +11,11 @@ batch — and, since r6, MinHash LSH and SimHash, whose portable-hash
 signatures DuckDB replays integer-exactly; since r8 also the mergeable
 HLL x30, via portable md5 registers and a lut'd linear-counting term,
 and SRP-LSH ANN x07, whose plane-literal left-fold signatures and
-cosine rerank replay bit-exactly). Remaining rows-only ops (IVF,
-SemDeDup, k-means, and x29 whose quantile sketch is engine-internal)
-are seeded-approximate or error-bounded by design and
-recall/equivalence-tested against their exact twins in tests/.
+cosine rerank replay bit-exactly; since r9 also IVF x18, SemDeDup x59
+and k-means-refine x60, via builder-retrained literal centroids +
+order-pinned vectorized folds + micro-unit fixed point). The single
+remaining rows-only op (x29, whose GK quantile sketch is
+engine-internal) is error-bounded by design and tested in tests/.
 """
 
 from __future__ import annotations

@@ -2,8 +2,11 @@
 chunk-level dedup with document reconstruction (x56), leakage-free
 component-aware splits (x57), integer-exact weighted sampling (x58),
 SemDeDup semantic dedup (x59), and distributed k-means refinement
-(x60). x56–x58 carry exact DuckDB oracles; x59/x60 are iterative /
-sample-seeded (rows-only; equivalence- and recall-tested in pytest).
+(x60). x56–x58 carry exact DuckDB oracles; x59/x60 joined them in r9
+via builder-retrained literal centroids (data-dependent oracles,
+matrix.ORACLE_BUILDERS), order-pinned vectorized folds, micro-unit
+fixed-point sums, and a recursive-CTE CC replay — equivalence and
+recall remain pytest-tested besides.
 
 Same exactness rules as the other waves: integer counters end-to-end,
 BIGINT casts on both engines, unique-id tiebreaks, identical aliases.
@@ -126,28 +129,125 @@ def x58_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.weighted_priority_sample(docs, k=20)
 
 
-@query("x59_semantic_dedup")
+def _x59_semdedup_sql(sf_dir: str) -> str:
+    """Full DuckDB replay of SemDeDup (r9, rows-only → hard oracle):
+    builder-retrained centroid literals (the x18 recipe), the same
+    left-fold assignment CTEs, within-cluster pair mining as an
+    equi-join on list_id with the fold dot product ≥ threshold —
+    bit-equal to the Arrow stage's order-pinned vectorized folds
+    (similarity._fold_dots_np) — and min-id connected components as a
+    recursive CTE (the x20 pattern). The only non-SQL step left is
+    the bounded seeded training, replayed by the builder itself."""
+    from sql_engine_spark.matrix.ext import (
+        _assign_ctes,
+        _dlit,
+        _dot,
+        _load_embeddings_np,
+    )
+    from sql_engine_spark.operators.similarity import ANN_SEED, IVF_TRAIN_MAX, _lloyd_np
+
+    _ids, X = _load_embeddings_np(sf_dir)
+    C = _lloyd_np(X[:IVF_TRAIN_MAX], n_lists=8, seed=ANN_SEED)
+    return f"""
+    WITH RECURSIVE {_assign_ctes(C)},
+    dup AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM asg x JOIN asg y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+      WHERE {_dot("x.uv", "y.uv")} >= {_dlit(0.4)}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup
+    ),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+    )
+    SELECT id AS vec_id, MIN(lbl) AS component,
+           CAST(id = MIN(lbl) AS BIGINT) AS kept
+    FROM reach GROUP BY id
+    """
+
+
+@query("x59_semantic_dedup", oracle_builder=_x59_semdedup_sql)
 def x59_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.semantic_dedup, Abbas et al.
     2023): spherical-quantizer clusters restrict the exact cosine pair
     search to within-cluster self-joins (O(N²/k) worst case, not
     O(N²)); connected components pick one representative per semantic
-    cluster. Iterative CC + sample-trained centroids → rows-only;
-    n_lists=1 exactness and clustered recall are pytest-proven."""
+    cluster. HARD oracle since r9 (_x59_semdedup_sql): the r9
+    order-pinned vectorized folds make the Arrow assignment and the
+    pair-threshold decisions bit-replayable, the centroids embed as
+    builder-retrained literals, and the CC fixpoint replays as a
+    recursive CTE; n_lists=1 exactness and clustered recall stay
+    pytest-proven."""
     from sql_engine_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4, n_lists=8)
 
 
-@query("x60_kmeans_refine")
+def _x60_kmeans_sql(sf_dir: str) -> str:
+    """Full DuckDB replay of the distributed Lloyd's refinement (r9,
+    rows-only → hard oracle): the builder replays all 4 iterations
+    sequentially — legal because every cross-engine sum is a
+    micro-unit BIGINT partial (order-independent, so the distributed
+    aggregation produces the same integers), unit vectors and centroid
+    dots are order-pinned folds, and the k·d driver update is the same
+    Python either way. The oracle SQL then replays only the final
+    assignment and the micro-unit mean_cos report against the embedded
+    final centroids."""
+    import numpy as np
+
+    from sql_engine_spark.matrix.ext import _assign_ctes, _load_embeddings_np
+    from sql_engine_spark.operators.similarity import (
+        ANN_SEED,
+        IVF_TRAIN_MAX,
+        _fold_dots_np,
+        _fold_norms_np,
+        _lloyd_np,
+    )
+
+    _ids, X = _load_embeddings_np(sf_dir)
+    C = _lloyd_np(X[:IVF_TRAIN_MAX], n_lists=8, seed=ANN_SEED)
+    k = len(C)
+    nrm = _fold_norms_np(X)
+    U = X / np.where(nrm > 0, nrm, 1.0)[:, None]
+    for _ in range(4):
+        assign = np.argmax(_fold_dots_np(U, C), axis=1)
+        newC = np.array(C, copy=True)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                s = np.floor(U[m] * 1000000.0 + 0.5).astype(np.int64).sum(axis=0)
+                # (s/10⁶)/n — the exact division order of kmeans_refine's
+                # driver update.
+                newC[j] = (s.astype(np.float64) / 1000000.0) / int(m.sum())
+        nn = np.linalg.norm(newC, axis=1)
+        C = newC / np.where(nn > 0, nn, 1.0)[:, None]
+    return f"""
+    WITH {_assign_ctes(C)}
+    SELECT list_id, COUNT(*) AS n_vectors,
+           (CAST(SUM(CAST(floor(list_max(dots)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1000000.0) / COUNT(*) AS mean_cos
+    FROM asg GROUP BY list_id
+    """
+
+
+@query("x60_kmeans_refine", oracle_builder=_x60_kmeans_sql)
 def x60_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's refinement (operators/similarity
     .kmeans_refine): 4 rounds of scan-stage assignment + map-side
-    (cluster, dim) partial means; only k·d tiny doubles ever shuffle
+    (cluster, dim) partial means; only k·d tiny integers ever shuffle
     or reach the driver. Per-cluster size and tightness report.
-    Iterative → rows-only; pytest proves exact equivalence to numpy
-    Lloyd's from the same seeded init."""
+    HARD oracle since r9 (_x60_kmeans_sql): micro-unit fixed-point
+    partials make each iteration's distributed sums bit-equal to the
+    builder's sequential replay, so the final centroids embed as
+    literals and the report replays in DuckDB; pytest additionally
+    proves bit-equality to the numpy mirror from the same seeded
+    init."""
     from sql_engine_spark.operators.similarity import kmeans_refine
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -646,8 +646,12 @@ def semantic_dedup(
 
     Output: (vec_id, component, kept) — kept=1 iff the row is its
     component's representative; singleton vectors are their own
-    component and survive. Iterative CC + sample-trained centroids →
-    rows-only correctness (equivalence- and recall-tested in pytest).
+    component and survive. HARD oracle since r9: the order-pinned
+    vectorized folds make the assignment and pair-threshold decisions
+    bit-replayable in DuckDB against builder-retrained centroid
+    literals, and the CC fixpoint replays as a recursive CTE
+    (matrix/wave5._x59_semdedup_sql); equivalence and recall remain
+    pytest-tested.
     """
     from sql_engine_spark.operators.dedup import connected_components
 
