@@ -89,6 +89,7 @@ BENCH_QUERIES = [
 # comparisons across queries aren't read as one sample size (ADVICE
 # r4).
 RUNS_OVERRIDE = {
+    "q1_pricing_summary": 5,  # VERDICT r8 #3: drifted to 0.736 [0.599,0.851] on untouched code (r7 0.443) — n=5 certifies drift vs regression
     "q18_large_orders": 5,  # VERDICT r7 #4: most spread-prone flagship ([0.897,1.309] at n=3) — n=5 settles noise vs regression
     "x29_sketch_profile": 5,
     "x32_multimodal_decode": 5,  # VERDICT r7 #2: first longitudinal record of the Arrow decode path — n=5 for a solid first bracket

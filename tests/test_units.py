@@ -496,6 +496,29 @@ def test_driver_order_matches_registered_matrix():
     assert set(matrix.ORACLE) <= set(matrix.QUERIES)
 
 
+def test_oracle_builders_consistent_with_static_strings():
+    """Data-dependent oracles (r9): exactly the three literal-centroid
+    replays register a builder, every builder also registered its
+    static sf0.01 string (the driver contract), and the static string
+    IS the builder's output at the driver sf — so what the driver runs
+    and what oracle_for_sf regenerates can never drift."""
+    from sql_engine_spark import matrix
+
+    assert set(matrix.ORACLE_BUILDERS) == {
+        "x18_sim_ivf",
+        "x59_semantic_dedup",
+        "x60_kmeans_refine",
+    }
+    for name, builder in matrix.ORACLE_BUILDERS.items():
+        assert name in matrix.ORACLE
+        assert matrix.ORACLE[name] == builder(matrix.DRIVER_SF_DIR)
+        assert matrix.oracle_for_sf(name, matrix.DRIVER_SF_DIR) == matrix.ORACLE[name]
+    # non-builder entries pass through unchanged
+    assert matrix.oracle_for_sf("x06_sim_topk_brute", "/root/testdata/sf0.001") == matrix.ORACLE[
+        "x06_sim_topk_brute"
+    ]
+
+
 def test_shuffle_conf_parse_is_defensive(spark):
     """ADVICE r6: "0" / "-1" conf values must fall back to the default
     (repartition(n <= 0) raises), alongside the r4/r5 non-numeric and
