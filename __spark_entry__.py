@@ -48,6 +48,16 @@ _DRIVER_ORDER = [
     "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
     "x48_multi_query_topk", "x49_knn_classify",
+    # -- remaining residents of the OTHER two r9-changed files
+    # (matrix/ext.py, matrix/wave5.py): their diffs are additive
+    # builder machinery with static strings pinned byte-equal by
+    # test_units, but the changed-files-first policy re-runs every
+    # resident of a touched file (the r8 wave6.py precedent) ---------
+    "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
+    "x05_dedup_simhash", "x11_text_langid", "x20_dedup_components",
+    "x22_text_sentiment", "x29_sketch_profile",
+    "x30_mergeable_distinct", "x56_chunk_dedup",
+    "x57_component_splits", "x58_weighted_sample",
     # -- unchanged code, OLDEST official rows first: the r05 cohort
     # (VERDICT r8 #6) ------------------------------------------------
     "e06_cross_join",
@@ -60,7 +70,7 @@ _DRIVER_ORDER = [
     "g18_null_handling",
     # -- r06 rows (q1 inside the ~50 budget: its n=5 bench watch
     # pairs with a fresh official correctness row) -------------------
-    "x33_contamination", "x02_dedup_ngram_jaccard",
+    "x33_contamination",
     "x03_dedup_survivors", "g19_window_topn", "g20_scalar_subquery",
     "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier_volume", "g23_exists",
@@ -73,25 +83,25 @@ _DRIVER_ORDER = [
     "q22_sales_opportunity", "x01_dedup_exact", "s01_stream_tumbling",
     "s03_stream_sliding", "s04_stream_dedup", "s05_stream_session_window",
     # -- r07 rows ----------------------------------------------------
-    "s02_stream_sessionize", "x04_dedup_minhash_lsh", "x05_dedup_simhash",
+    "s02_stream_sessionize",
     "s06_stream_interval_join", "x34_tfidf_topterms", "x35_sequence_packing",
     "x36_regex_scrub", "x37_repetition", "x39_vocab_oov",
     "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
     "x43_bigram_rarity", "x45_split_assignment", "s07_stream_static_enrich",
-    "x09_text_token_stats", "x10_text_quality", "x11_text_langid",
+    "x09_text_token_stats", "x10_text_quality",
     "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
     "x15_window_tumbling_batch", "x17_text_bpe_tokens", "x21_salted_agg",
-    "x20_dedup_components", "x38_containment", "x44_cross_source_dups",
+    "x38_containment", "x44_cross_source_dups",
     "x51_span_dups", "x55_crossmodal_agreement", "x46_source_cap",
     "x47_token_budget", "x64_source_divergence", "x65_quality_dedup",
     "x66_event_funnel", "x67_retention_cohorts", "x68_event_anomalies",
-    "s09_stream_late_accounting", "x22_text_sentiment",
+    "s09_stream_late_accounting",
     "x23_hierarchical_rollup", "x24_asof_join", "x25_range_join",
     "x27_skyline",
     # -- r08 rows (freshest: re-ran last round, code unchanged) -----
-    "x63_image_dup_pairs", "x69_quarantine_classes", "x30_mergeable_distinct",
+    "x63_image_dup_pairs", "x69_quarantine_classes",
     "x32_multimodal_decode", "x16_multimodal_features", "x19_multimodal_frames",
-    "x26_multimodal_resize", "x29_sketch_profile", "x61_epoch_upsample",
+    "x26_multimodal_resize", "x61_epoch_upsample",
     "x62_phrase_mining", "s08_stream_ingest_dedup", "x28_stratified_sample",
     "x31_embedding_centroid", "g32_array_funcs", "g33_window_frames",
     "g34_grouping_sets", "g35_pivot", "g36_not_in_subquery",
@@ -100,8 +110,7 @@ _DRIVER_ORDER = [
     "g43_percentiles", "g44_ntile", "g45_recursive_cte", "g46_full_outer",
     "g47_quantified_all", "g48_semi_anti_join", "g49_grouping_id",
     "g50_rank_family", "x50_stopword_stats", "x52_quality_stratified",
-    "x53_dup_cluster_stats", "x54_incremental_dedup", "x56_chunk_dedup",
-    "x57_component_splits", "x58_weighted_sample", "e01_scan_project",
+    "x53_dup_cluster_stats", "x54_incremental_dedup", "e01_scan_project",
     "e02_star", "e03_filter_comparisons", "e04_filter_andor_tree",
     "e05_negative_literal",
 ]

@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 ORACLE_BUILDERS: dict[str, Callable[[str], str]] = {}
+# entry -> repr(exc) for every oracle_builder that failed at import.
+# A non-empty dict means hard oracles silently became rows-only checks
+# — pytest pins it empty (test_units), and the warning below makes the
+# downgrade visible in driver logs where tests don't run.
+ORACLE_BUILD_FAILURES: dict[str, str] = {}
 
 # The driver's correctness pass always runs at sf0.01 — the sf the
 # static ORACLE strings of data-dependent oracles are generated for.
@@ -54,7 +59,9 @@ def query(
     generated once for the driver's contract sf (sf0.01, the only sf
     the driver compares at); local multi-sf sweeps regenerate via
     :func:`oracle_for_sf`. Builder failures (missing testdata) degrade
-    to a rows-only registration rather than breaking import."""
+    to a rows-only registration rather than breaking import — but are
+    recorded in ``ORACLE_BUILD_FAILURES`` and warned to stderr so the
+    downgrade is never silent."""
 
     def deco(fn):
         QUERIES[name] = fn
@@ -64,8 +71,19 @@ def query(
             try:
                 ORACLE[name] = oracle_builder(DRIVER_SF_DIR)
                 ORACLE_BUILDERS[name] = oracle_builder
-            except Exception:  # pragma: no cover - testdata absent
-                pass
+            except Exception as exc:  # pragma: no cover - testdata absent
+                # Degrade to rows-only LOUDLY: without the record a
+                # builder bug would silently drop the entry's hard
+                # oracle and the driver gate would pass a noop check.
+                import sys
+
+                ORACLE_BUILD_FAILURES[name] = repr(exc)
+                print(
+                    f"WARNING sql_engine_spark.matrix: oracle builder for "
+                    f"{name!r} failed ({exc!r}) — entry degraded to a "
+                    f"rows-only check",
+                    file=sys.stderr,
+                )
         return fn
 
     return deco

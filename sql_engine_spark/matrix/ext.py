@@ -20,6 +20,8 @@ engine-internal) is error-bounded by design and tested in tests/.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -135,7 +137,7 @@ def _x07_ann_sql() -> str:
     dim = 64
     planes = _hyperplanes(dim, ANN_PLANES, ANN_SEED)
     per = ANN_PLANES // ANN_BANDS
-    pl = "[" + ", ".join("[" + ", ".join(_dlit(v) for v in p) + "]" for p in planes) + "]"
+    pl = _centroid_lit(planes)
 
     def bit(vec: str, p: int) -> str:
         prods = f"list_transform(range(1, {dim}+1), i -> {vec}[i] * pl[{p + 1}][i])"
@@ -191,9 +193,12 @@ def _x07_ann_sql() -> str:
 # DuckDB list_position).
 
 
+@functools.lru_cache(maxsize=4)
 def _load_embeddings_np(sf_dir: str):
     """(ids, X) of the full embeddings table ordered by vec_id, as the
-    same float64 matrix Spark's orderBy-collect fetch produces."""
+    same float64 matrix Spark's orderBy-collect fetch produces.
+    Cached per sf_dir (callers only read), so the three oracle
+    builders share one DuckDB read per import/sweep."""
     import duckdb
     import numpy as np
 
@@ -206,6 +211,19 @@ def _load_embeddings_np(sf_dir: str):
     ids = [r[0] for r in rows]
     X = np.asarray([r[1] for r in rows], dtype=np.float64)
     return ids, X
+
+
+@functools.lru_cache(maxsize=8)
+def _trained_centroids(sf_dir: str, n_lists: int, seed: int):
+    """Seeded quantizer centroids for ``sf_dir`` — the ONE training
+    both the x18 builder (n_lists=16) and the x59/x60 builders
+    (n_lists=8) go through, cached so identical (sf, k, seed) trains
+    run once per sweep. Read-only to callers (:func:`_lloyd_np`
+    rebinds, never mutates)."""
+    from sql_engine_spark.operators.similarity import IVF_TRAIN_MAX, _lloyd_np
+
+    _ids, X = _load_embeddings_np(sf_dir)
+    return _lloyd_np(X[:IVF_TRAIN_MAX], n_lists=n_lists, seed=seed)
 
 
 def _centroid_lit(C) -> str:
@@ -243,14 +261,10 @@ def _x18_ivf_sql(sf_dir: str) -> str:
     once by similarity.ivf_probe_order and embedded — driver-side on
     both sides by construction), and the exact cosine rerank x06/x07
     already replay bit-exactly."""
-    from sql_engine_spark.operators.similarity import (
-        IVF_TRAIN_MAX,
-        _lloyd_np,
-        ivf_probe_order,
-    )
+    from sql_engine_spark.operators.similarity import ivf_probe_order
 
     ids, X = _load_embeddings_np(sf_dir)
-    C = _lloyd_np(X[:IVF_TRAIN_MAX], n_lists=16, seed=42)
+    C = _trained_centroids(sf_dir, n_lists=16, seed=42)
     qv = X[ids.index(0)]
     probe = ", ".join(str(p) for p in ivf_probe_order(C, list(qv), n_probe=4))
     return f"""

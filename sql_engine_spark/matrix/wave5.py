@@ -142,12 +142,11 @@ def _x59_semdedup_sql(sf_dir: str) -> str:
         _assign_ctes,
         _dlit,
         _dot,
-        _load_embeddings_np,
+        _trained_centroids,
     )
-    from sql_engine_spark.operators.similarity import ANN_SEED, IVF_TRAIN_MAX, _lloyd_np
+    from sql_engine_spark.operators.similarity import ANN_SEED
 
-    _ids, X = _load_embeddings_np(sf_dir)
-    C = _lloyd_np(X[:IVF_TRAIN_MAX], n_lists=8, seed=ANN_SEED)
+    C = _trained_centroids(sf_dir, n_lists=8, seed=ANN_SEED)
     return f"""
     WITH RECURSIVE {_assign_ctes(C)},
     dup AS (
@@ -201,17 +200,19 @@ def _x60_kmeans_sql(sf_dir: str) -> str:
     final centroids."""
     import numpy as np
 
-    from sql_engine_spark.matrix.ext import _assign_ctes, _load_embeddings_np
+    from sql_engine_spark.matrix.ext import (
+        _assign_ctes,
+        _load_embeddings_np,
+        _trained_centroids,
+    )
     from sql_engine_spark.operators.similarity import (
         ANN_SEED,
-        IVF_TRAIN_MAX,
         _fold_dots_np,
         _fold_norms_np,
-        _lloyd_np,
     )
 
     _ids, X = _load_embeddings_np(sf_dir)
-    C = _lloyd_np(X[:IVF_TRAIN_MAX], n_lists=8, seed=ANN_SEED)
+    C = _trained_centroids(sf_dir, n_lists=8, seed=ANN_SEED)
     k = len(C)
     nrm = _fold_norms_np(X)
     U = X / np.where(nrm > 0, nrm, 1.0)[:, None]

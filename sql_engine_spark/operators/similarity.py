@@ -494,7 +494,7 @@ def _fold_norms_np(M: "np.ndarray") -> np.ndarray:
     acc = np.zeros(len(M), dtype=np.float64)
     for t in range(M.shape[1]):
         x = M[:, t]
-        acc = acc + x * x
+        acc += x * x  # in-place: same IEEE sequence, no sum temporary
     return np.sqrt(acc)
 
 
@@ -505,10 +505,11 @@ def _fold_dots_np(A: "np.ndarray", B: "np.ndarray") -> np.ndarray:
     feed THRESHOLD or ARGMAX decisions an oracle must replay: gemm's
     pairwise/SIMD summation is a different (and build-dependent)
     rounding sequence, which is why the old equivalence test had to
-    skip near-tie rows. Memory: one (m,k) accumulator, d passes."""
+    skip near-tie rows. Memory: one (m,k) accumulator updated in place
+    plus the per-pass outer-product temporary, d passes."""
     out = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
     for t in range(A.shape[1]):
-        out = out + A[:, t, None] * B[None, :, t]
+        out += A[:, t, None] * B[None, :, t]
     return out
 
 

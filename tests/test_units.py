@@ -509,6 +509,10 @@ def test_oracle_builders_consistent_with_static_strings():
         "x59_semantic_dedup",
         "x60_kmeans_refine",
     }
+    # no builder failed at import: a non-empty record means a hard
+    # oracle silently became a rows-only check (matrix.query warns,
+    # this pins it to zero wherever tests run).
+    assert matrix.ORACLE_BUILD_FAILURES == {}
     for name, builder in matrix.ORACLE_BUILDERS.items():
         assert name in matrix.ORACLE
         assert matrix.ORACLE[name] == builder(matrix.DRIVER_SF_DIR)

@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
+from sql_engine_spark import matrix as _m
 from tests.oracle_harness import compare, run_oracle
 
 
@@ -36,12 +37,15 @@ def main() -> None:
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
-                # data-dependent oracles regenerate per sf (the driver
-                # itself runs the static sf0.01 strings — identical
-                # when sf_dir is sf0.01).
-                from sql_engine_spark import matrix as _m
-
-                sql = _m.oracle_for_sf(name, sf_dir) if name in _m.ORACLE_BUILDERS else oracles[name]
+                # data-dependent oracles regenerate per NON-driver sf;
+                # at the driver sf use the static string the real
+                # driver runs (pinned == builder output by test_units)
+                # so the rebuild cost never pollutes the entry's dt.
+                sql = (
+                    oracles[name]
+                    if sf_dir == _m.DRIVER_SF_DIR
+                    else _m.oracle_for_sf(name, sf_dir)
+                )
                 opdf = run_oracle(sql, sf_dir)
                 ok, msg = compare(sdf, opdf)
             else:
