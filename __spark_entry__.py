@@ -40,11 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-9 head: similarity.py was rewritten after every
-    # resident's r8 row (order-pinned vectorized folds, _lloyd_np
-    # factor-out, fixed-point kmeans_refine — the x18/x59/x60
-    # hard-oracle conversions, VERDICT r8 #1/#2), so all eight
-    # residents re-run, the three converted entries first -----------
+    # -- round-9 head: the FOUR r9 hard-oracle conversions first.
+    # x29 is the last-built (operators/sketches.py rewritten — the GK
+    # quantile sketch replaced by the portable integer HDR histogram,
+    # making the whole profile DuckDB-replayable), and x30 shares
+    # that rewritten file (portable-HLL estimator lut moved to a
+    # from_json literal), so both re-run at the top. x18/x59/x60 are
+    # the similarity.py conversions (order-pinned vectorized folds,
+    # _lloyd_np factor-out, fixed-point kmeans_refine — VERDICT r8
+    # #1/#2); all eight similarity.py residents re-run --------------
+    "x29_sketch_profile", "x30_mergeable_distinct",
     "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
     "x48_multi_query_topk", "x49_knn_classify",
@@ -55,8 +60,7 @@ _DRIVER_ORDER = [
     # resident of a touched file (the r8 wave6.py precedent) ---------
     "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
     "x05_dedup_simhash", "x11_text_langid", "x20_dedup_components",
-    "x22_text_sentiment", "x29_sketch_profile",
-    "x30_mergeable_distinct", "x56_chunk_dedup",
+    "x22_text_sentiment", "x56_chunk_dedup",
     "x57_component_splits", "x58_weighted_sample",
     # -- unchanged code, OLDEST official rows first: the r05 cohort
     # (VERDICT r8 #6) ------------------------------------------------
@@ -127,17 +131,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for every SQL-expressible entry.
-    The ONE entry absent here (the x29 profile, whose GK quantile
-    sketch is engine-internal and error-bounded by design) gets a
-    rows-only check. MinHash/SimHash/stateful-sessionize became hard
-    oracle rows in r6 (portable md5-prefix hashes / batch replay);
-    frame-sample and resize in r7 (byte-aligned hex-domain replay);
-    image dup pairs, the mergeable HLL, and SRP-ANN in r8
-    (stored-deflate payloads, portable registers + lut'd linear
-    counting, plane-literal left folds); IVF, SemDeDup, and k-means
-    refine in r9 (builder-retrained literal centroids + order-pinned
-    vectorized folds + micro-unit fixed point, regenerated per sf via
-    matrix.ORACLE_BUILDERS — the driver's static strings target its
-    sf0.01 contract)."""
+    """DuckDB-runnable ANSI SQL twin for EVERY entry — 154/154 since
+    r9; the rows-only class is empty. MinHash/SimHash/stateful-
+    sessionize became hard oracle rows in r6 (portable md5-prefix
+    hashes / batch replay); frame-sample and resize in r7
+    (byte-aligned hex-domain replay); image dup pairs, the mergeable
+    HLL, and SRP-ANN in r8 (stored-deflate payloads, portable
+    registers + lut'd linear counting, plane-literal left folds);
+    IVF, SemDeDup, and k-means refine in r9 (builder-retrained
+    literal centroids + order-pinned vectorized folds + micro-unit
+    fixed point, regenerated per sf via matrix.ORACLE_BUILDERS — the
+    driver's static strings target its sf0.01 contract); and finally
+    the x29 profile in r9 (the GK quantile sketch — the one
+    engine-internal piece left — replaced by a portable integer HDR
+    histogram over exact cents, operators/sketches.py)."""
     return _driver_sorted(dict(matrix.ORACLE))

@@ -13,9 +13,10 @@ HLL x30, via portable md5 registers and a lut'd linear-counting term,
 and SRP-LSH ANN x07, whose plane-literal left-fold signatures and
 cosine rerank replay bit-exactly; since r9 also IVF x18, SemDeDup x59
 and k-means-refine x60, via builder-retrained literal centroids +
-order-pinned vectorized folds + micro-unit fixed point). The single
-remaining rows-only op (x29, whose GK quantile sketch is
-engine-internal) is error-bounded by design and tested in tests/.
+order-pinned vectorized folds + micro-unit fixed point; and finally
+the x29 profile, whose GK quantile sketch — the last engine-internal
+piece anywhere — was replaced by a portable integer HDR histogram, so
+since r9 EVERY matrix entry carries a hard DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -1210,16 +1211,139 @@ def s05_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x29_sketch_profile")  # approximate (HLL/quantile-sketch) → rows-only
+def _x29_profile_sql() -> str:
+    """Full DuckDB replay of the sketch profile (r9, the LAST
+    rows-only entry → hard oracle): since the quantile sketch moved
+    from Spark's engine-internal Greenwald-Khanna state to the
+    portable integer HDR histogram (operators/sketches.py module
+    comment), every profile value is deterministic and
+    SQL-expressible — exact-cents HDR bins (octave = bit length, the
+    x30 rank idiom; pure integer arithmetic), ceil-rank walk as a
+    window cumsum (the ORACLE may window; the Spark plan must not —
+    its rank walk is an array fold), the x30 portable-register HLL
+    per column, and the already-exact categorical marginals. All
+    shared expression SHAPES come from the sketches module builders
+    (duck=True), so operator and oracle cannot desync."""
+    from sql_engine_spark.operators.sketches import (
+        _HLL_SCALE,
+        _HLL_W,
+        _rank_from_w_sql,
+        CENTS_SCALE,
+        HLL_EST_CONST,
+        HLL_LINEAR_LUT,
+        HLL_M,
+        HLL_P,
+        cents_sql,
+        hdr_bin_sql,
+        hdr_lower_bound_sql,
+        hll_hash_sql,
+        hll_idx_sql,
+    )
+
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    cat_cols = ["l_returnflag", "l_linestatus"]
+    num_union = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS col, {cents_sql(c)} AS v FROM lineitem" for c in num_cols
+    )
+    cat_union = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM lineitem"
+        for c in cat_cols
+    )
+    lut = "[" + ", ".join(_dlit(x) for x in HLL_LINEAR_LUT) + "]"
+    wmax = _HLL_W + 1
+    return f"""
+    WITH num AS (
+      {num_union}
+    ),
+    bins AS (
+      SELECT col, {hdr_bin_sql('v', duck=True)} AS b, COUNT(*) AS c
+      FROM num GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT col, CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN b IS NOT NULL THEN c END), 0) AS BIGINT) AS nn
+      FROM bins GROUP BY col
+    ),
+    cum AS (
+      SELECT col, b,
+             SUM(c) OVER (PARTITION BY col ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cm
+      FROM bins WHERE b IS NOT NULL
+    ),
+    sel AS (
+      SELECT t.col, t.n_rows,
+             MIN(CASE WHEN cm >= (t.nn + 1) // 2 THEN b END) AS b50,
+             MIN(CASE WHEN cm >= (95 * t.nn + 99) // 100 THEN b END) AS b95
+      FROM tot t LEFT JOIN cum ON t.col = cum.col
+      GROUP BY 1, 2
+    ),
+    hsh AS (
+      SELECT col, {hll_hash_sql('v', duck=True)} AS h
+      FROM num WHERE v IS NOT NULL
+    ),
+    mws AS (
+      SELECT col, {hll_idx_sql('h')} AS idx, MIN(h // {1 << HLL_P}) AS mw
+      FROM hsh GROUP BY col, idx
+    ),
+    regs AS (
+      SELECT col, idx, {_rank_from_w_sql('mw', duck=True)} AS m FROM mws
+    ),
+    hll AS (
+      SELECT col,
+             CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({wmax} - m)), 0)
+                  + ({HLL_M} - COUNT(*)) * CAST({_HLL_SCALE} AS BIGINT)
+                  AS DOUBLE) AS s,
+             {HLL_M} - COUNT(*) AS vz
+      FROM regs GROUP BY col
+    ),
+    est AS (
+      SELECT col,
+             CASE WHEN ({HLL_EST_CONST!r} / s) <= {2.5 * HLL_M!r} AND vz > 0
+                  THEN ({lut})[CAST(greatest(vz, 1) AS INTEGER)]
+                  ELSE {HLL_EST_CONST!r} / s END AS e
+      FROM hll
+    ),
+    numprof AS (
+      SELECT sel.col AS "column", sel.n_rows,
+             CAST(floor(est.e) AS BIGINT) AS approx_distinct,
+             CAST({hdr_lower_bound_sql('b50', duck=True)} AS DOUBLE)
+               / {float(CENTS_SCALE)!r} AS p50,
+             CAST({hdr_lower_bound_sql('b95', duck=True)} AS DOUBLE)
+               / {float(CENTS_SCALE)!r} AS p95,
+             CAST(NULL AS VARCHAR) AS top_value,
+             CAST(NULL AS BIGINT) AS top_count
+      FROM sel JOIN est ON sel.col = est.col
+    ),
+    catc AS (
+      SELECT col, val, COUNT(*) AS c FROM (
+      {cat_union}
+      ) GROUP BY 1, 2
+    ),
+    catprof AS (
+      SELECT col AS "column", CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(val) AS BIGINT) AS approx_distinct,
+             CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p95,
+             MIN(CASE WHEN val IS NOT NULL
+                      THEN {{'nc': -c, 'v': val}} END)['v'] AS top_value,
+             CAST(-MIN(CASE WHEN val IS NOT NULL
+                       THEN {{'nc': -c, 'v': val}} END)['nc'] AS BIGINT) AS top_count
+      FROM catc GROUP BY col
+    )
+    SELECT * FROM numprof UNION ALL SELECT * FROM catprof
+    """
+
+
+@query("x29_sketch_profile", oracle=_x29_profile_sql())
 def x29_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass sketch profile of lineitem (operators/sketches.py):
-    HyperLogLog distinct counts, quantile-sketch p50/p95, exact heavy
-    hitters — the scan-once data-profiling pass a 100 TB ingest runs
-    first. Stays rows-only even after x30's r8 portable-HLL
-    conversion: the profile's p50/p95 come from Spark's internal
-    Greenwald-Khanna quantile sketch, whose compaction state is not
-    SQL-replayable — error bounds vs exact recomputation are asserted
-    in tests/test_sketches.py instead."""
+    portable-HLL distinct counts, portable integer-HDR p50/p95, exact
+    heavy hitters — the scan-once data-profiling pass a 100 TB ingest
+    runs first. A HARD oracle row since r9: the GK quantile sketch
+    (whose compaction state was the one engine-internal,
+    non-replayable piece left) was replaced by the integer HDR
+    histogram, so the full profile replays in DuckDB
+    (_x29_profile_sql); error bounds vs exact recomputation stay
+    asserted in tests/test_sketches.py."""
     from sql_engine_spark.operators.sketches import profile_table
 
     li = load_table(spark, sf_dir, "lineitem")

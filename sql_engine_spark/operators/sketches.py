@@ -5,12 +5,13 @@ per-column approximate distinct counts, quantiles, and heavy hitters.
 At 100 TB none of these can be exact-and-cheap at the same time, so the
 operator uses the standard mergeable one-pass sketches Spark ships:
 
-- **HyperLogLog** (``approx_count_distinct`` for estimates;
-  ``hll_sketch_agg``/``hll_union_agg`` Apache DataSketches binaries for
-  the *mergeable* form — build per shard/day, union later, never
-  rescan).
-- **Quantile sketch** (``percentile_approx``) with a configurable
-  accuracy/memory knob.
+- **HyperLogLog** — the repo's PORTABLE-register HLL (below) for the
+  profile and x30 (SQL-replayable, hard-oracle); the DataSketches
+  binaries (``hll_sketch_agg``/``hll_union_agg``) remain available via
+  :func:`mergeable_distinct` for binary-sketch interop.
+- **Quantile sketch** — a portable integer HDR histogram (constants
+  below): geometric octaves + linear sub-buckets over exact cents,
+  order-independent integer counts, relative error ≤ 2^-SUB_BITS.
 - **Heavy hitters** via a single MELTED pass: every categorical column
   explodes to (column, value) rows inside the scan stage, one
   groupBy(column, value) counts them all (partial aggregation keeps
@@ -18,11 +19,12 @@ operator uses the standard mergeable one-pass sketches Spark ships:
   (-count, value) structs picks winners — no window, no join.
 
 The profile of a 100 TB table costs exactly TWO scans, independent of
-column count: one for every sketch aggregate, one (melted) for every
-categorical heavy hitter — asserted in tests/test_plans.py.
-
-Accuracy bounds are asserted in tests/ against exact recomputation
-(HLL default rsd 5%; quantiles within rank tolerance 1/accuracy).
+column count: one melted scan for every numeric sketch (bins +
+registers in one explode), one melted scan for every categorical
+heavy hitter — asserted in tests/test_plans.py. Since r9 every
+profile output value is deterministic and SQL-replayable, so x29 is a
+hard DuckDB-oracle row; accuracy bounds vs exact recomputation are
+additionally asserted in tests/test_sketches.py.
 """
 
 from __future__ import annotations
@@ -32,7 +34,128 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-QUANTILE_ACCURACY = 2000  # rank error <= n/accuracy (0.05%)
+# --- portable HDR-histogram quantile sketch (r9) ---------------------
+# Quantiles in the profile come from an integer HDR histogram (HDR
+# Histogram / DDSketch family: geometric octaves with linear
+# sub-buckets), not Spark's internal Greenwald-Khanna sketch — GK's
+# compaction state is engine-internal and not SQL-replayable, which
+# kept x29 the last rows-only oracle entry. The HDR bin index is PURE
+# INTEGER arithmetic over the repo's exact cents fixed point
+# (floor(v*100+0.5), the money/x31 pattern): octave = bit length
+# (length(bin(x)) on both engines — the x30 rank idiom, no libm
+# anywhere), sub-bucket = top QUANTILE_SUB_BITS mantissa bits. Bin
+# counts are order-independent integer sums, so the distributed
+# aggregation is bit-equal to any sequential replay, and the whole
+# sketch — binning, rank walk, representative value — replays in
+# DuckDB. Error: relative error of the reported quantile is
+# <= 2^-QUANTILE_SUB_BITS (bin width / bin lower bound), asserted in
+# tests/test_sketches.py. State: <= ~64*2^SUB_BITS bins per column
+# regardless of data size — mergeable bounded sketch state, same
+# contract as the HLL registers.
+QUANTILE_SUB_BITS = 7  # 128 sub-buckets/octave → rel. error <= 0.79%
+_QSB = 1 << QUANTILE_SUB_BITS
+CENTS_SCALE = 100  # fixed-point scale for profiled numerics
+
+
+def hdr_bin_sql(v: str, duck: bool = False) -> str:
+    """HDR bin id of non-negative-or-mirrored cents value ``v`` as a
+    SQL fragment — the SAME shape on both engines (only the shift /
+    integer-div / bit-length spellings differ), so the operator and
+    the x29 oracle cannot desync. Values |v| < 2^SUB_BITS get exact
+    unit bins; larger values (octave * 2^SUB_BITS + sub) with sub =
+    the SUB_BITS bits after the leading 1; negatives mirror
+    (bin = -bin(|v|)), keeping bin order == value order. Integer ops
+    only — bit-stable everywhere."""
+    a = f"abs({v})"
+    o = _bitlen_sql(a, duck)  # bit length; a=0 takes the unit branch
+    shift = f"({o} - {1 + QUANTILE_SUB_BITS})"
+    top = f"({a} >> {shift})" if duck else f"shiftright({a}, {shift})"
+    pos = f"(CASE WHEN {a} < {_QSB} THEN {a} ELSE {o} * {_QSB} + {top} - {_QSB} END)"
+    return f"(CASE WHEN {v} >= 0 THEN {pos} ELSE -{pos} END)"
+
+
+def hdr_lower_bound_sql(b: str, duck: bool = False) -> str:
+    """Representative (lower-bound) cents value of HDR bin ``b`` — the
+    inverse of :func:`hdr_bin_sql` up to bin width; negative bins
+    report the mirrored (upper) endpoint, same relative error."""
+    a = f"abs({b})"
+    oct_ = f"({a} // {_QSB})" if duck else f"({a} DIV {_QSB})"
+    base = f"({_QSB} + {a} % {_QSB})"
+    shift = f"({oct_} - {1 + QUANTILE_SUB_BITS})"
+    big = f"({base} << {shift})" if duck else f"shiftleft({base}, {shift})"
+    pos = f"(CASE WHEN {a} < {(1 + QUANTILE_SUB_BITS) * _QSB} THEN {a} ELSE {big} END)"
+    return f"(CASE WHEN {b} >= 0 THEN {pos} ELSE -{pos} END)"
+
+
+def cents_sql(v: str) -> str:
+    """Exact fixed-point cents of ``v`` — the repo-wide
+    floor(x*100+0.5) tie rule (functions/money.py), multiply/add/floor
+    are IEEE-correctly-rounded on every engine."""
+    return f"CAST(floor({v} * {CENTS_SCALE} + 0.5) AS BIGINT)"
+
+
+def _bitlen_sql(a: str, duck: bool) -> str:
+    """Bit length of non-negative BIGINT ``a`` (the x30 rank idiom):
+    Spark bin() prints the minimal binary form, DuckDB pads — ltrim
+    equalizes."""
+    return (
+        f"length(ltrim(bin({a}), '0'))" if duck else f"length(bin({a}))"
+    )
+
+
+def hll_hash_sql(v: str, duck: bool = False) -> str:
+    """The portable 60-bit md5-prefix hash of ``v`` rendered as a
+    string (the x04/x05/x30 family) as a SQL fragment on either
+    engine. NULL in → NULL out."""
+    if duck:
+        return (
+            "list_reduce([strpos('0123456789abcdef', "
+            f"substr(md5(CAST({v} AS VARCHAR)), i, 1)) - 1 "
+            "for i in range(1, 16)], (a, b) -> a * 16 + b)"
+        )
+    return f"CAST(conv(substring(md5(CAST({v} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hll_idx_sql(h: str) -> str:
+    """Register index of hash ``h`` — low HLL_P bits (same spelling on
+    both engines; ``h`` is non-negative so ``%`` == bitmask)."""
+    return f"({h} % {HLL_M})"
+
+
+def _rank_from_w_sql(w: str, duck: bool = False) -> str:
+    """Leading-zero rank of a 48-bit hash window ``w`` — the register
+    value the HLL max-folds. Monotone NON-INCREASING in ``w`` (bit
+    length is monotone), so ``max(rank) == rank(min(w))`` and callers
+    may min-fold the raw window first, running this string-op
+    expression once per register instead of once per row."""
+    return (
+        f"(CASE WHEN {w} = 0 THEN {_HLL_W + 1} "
+        f"ELSE {_HLL_W + 1} - {_bitlen_sql(w, duck)} END)"
+    )
+
+
+def hll_rank_sql(h: str, duck: bool = False) -> str:
+    """Rank directly from hash ``h`` (shift + :func:`_rank_from_w_sql`)."""
+    w = f"({h} // {1 << HLL_P})" if duck else f"shiftright({h}, {HLL_P})"
+    return _rank_from_w_sql(w, duck)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimated scan-task count for ``df``: optimizer-stats size (the
+    column-pruned file-footer estimate — no job, no RDD conversion,
+    sub-ms once the file index is warm) over maxPartitionBytes. Used
+    only to decide whether a SMALL local input needs spreading, so the
+    cheap estimate beats the exact-but-slow rdd.getNumPartitions()
+    (which builds a Python RDD plan, ~0.5 s of driver time)."""
+    spark = df.sparkSession
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_pb = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b")
+        )
+        return size // max(max_pb, 1) + 1
+    except Exception:  # pragma: no cover - private-API drift fallback
+        return df.rdd.getNumPartitions()
 
 
 def profile_table(
@@ -47,34 +170,129 @@ def profile_table(
         raise ValueError("profile_table: no columns to profile")
     profile = None
     if numeric_cols:
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in numeric_cols:
-            aggs.append(F.approx_count_distinct(c).alias(f"__ad_{c}"))
-            aggs.append(
-                F.percentile_approx(c, [0.5, 0.95], QUANTILE_ACCURACY).alias(f"__pq_{c}")
+        # ONE melted scan for every numeric sketch: each row emits,
+        # per column, an HDR-bin struct (always — NULL bin carries the
+        # null count into n_rows) and an HLL-register struct (non-null
+        # values only; k2 carries the raw 48-bit hash window — the
+        # leading-zero RANK is monotone non-increasing in w, so
+        # max(rank) == rank(min(w)) and the string-op rank expression
+        # runs once per REGISTER, not once per row). Everything
+        # downstream aggregates bounded sketch state: groupBy(column,
+        # kind, key) collapses each partition map-side to <=
+        # bins+registers rows per column, and the final
+        # groupBy(column) folds those few thousand rows into the
+        # profile row with JVM array expressions — no Window, no
+        # join, no driver collect. Every arithmetic step is integer or
+        # lut'd (module comments), so the whole branch replays
+        # bit-exactly in the x29 DuckDB oracle (matrix/ext.py).
+        base = df.select(*dict.fromkeys(numeric_cols))
+        # The per-row md5 is the profile's compute floor; a 100 TB
+        # scan has thousands of input splits, but a small local file
+        # may have fewer than the session has cores — spread it (the
+        # guard keeps the repartition OUT of real at-scale plans).
+        # The natural split count is ESTIMATED from optimizer stats
+        # (pruned-size / maxPartitionBytes): rdd.getNumPartitions()
+        # would answer exactly but materializes a Python RDD plan,
+        # ~0.5 s of driver time per call (measured, r9).
+        if _estimated_scan_partitions(base) < (
+            par := df.sparkSession.sparkContext.defaultParallelism
+        ):
+            base = base.repartition(par)
+        # Columns travel as int ids through the hot path (string group
+        # keys measurably slow the melted partial agg; names come
+        # back via one element_at over the final handful of rows).
+        # Stages are single parsed SQL strings — fine-grained Column
+        # building costs a py4j round-trip per node, ~1 s/plan here.
+        # The melt is stack(), not explode(array(named_struct(...))):
+        # stack emits flat primitive columns where explode allocates
+        # an array of nested structs per row — measured ~15% faster
+        # on the whole state agg (r9). Scalar pieces (cents, hash,
+        # bin, register idx/window) are precomputed per column in
+        # chained projections, so the Generate itself carries only
+        # column references; the separate `h` projection also
+        # guarantees the md5 runs once per value (expression CSE does
+        # NOT dedupe it across output fields; measured 3x slower
+        # fused, r9).
+        nc = len(numeric_cols)
+        hashed = base.selectExpr(
+            *[f"{cents_sql(f'`{c}`')} AS v{i}" for i, c in enumerate(numeric_cols)],
+            *[
+                f"{hll_hash_sql(cents_sql(f'`{c}`'))} AS h{i}"
+                for i, c in enumerate(numeric_cols)
+            ],
+        )
+        keyed = hashed.selectExpr(
+            *[f"CAST({hdr_bin_sql(f'v{i}')} AS BIGINT) AS b{i}" for i in range(nc)],
+            *[f"CAST({hll_idx_sql(f'h{i}')} AS BIGINT) AS x{i}" for i in range(nc)],
+            *[f"shiftright(h{i}, {HLL_P}) AS w{i}" for i in range(nc)],
+        )
+        # Two rows per (row, column): kind 0 = HDR bin (k1 NULL for a
+        # NULL value — the null group still counts toward n_rows),
+        # kind 1 = HLL register (k1 = register idx, k2 = raw 48-bit
+        # hash window; NULL-k1 register rows are dropped — a NULL
+        # value contributes nothing to the distinct estimate).
+        parts = []
+        for i in range(nc):
+            parts.append(f"CAST({i} AS INT), CAST(0 AS INT), b{i}, CAST(NULL AS BIGINT)")
+            parts.append(f"CAST({i} AS INT), CAST(1 AS INT), x{i}, w{i}")
+        state = (
+            keyed.selectExpr(
+                f"stack({2 * nc}, {', '.join(parts)}) AS (ci, kind, k1, k2)"
             )
-        one = df.agg(*aggs)
-
-        # Pivot the single aggregate row to one row per numeric column
-        # with ONE explode — per-column union branches would re-execute
-        # the whole aggregate (and re-scan the table) once per column
-        # unless ReuseExchange happened to dedupe them.
-        entries = []
-        for c in numeric_cols:
-            entries.append(
-                F.struct(
-                    F.lit(c).alias("column"),
-                    F.col("__n").alias("n_rows"),
-                    F.col(f"__ad_{c}").alias("approx_distinct"),
-                    F.col(f"__pq_{c}")[0].cast("double").alias("p50"),
-                    F.col(f"__pq_{c}")[1].cast("double").alias("p95"),
-                )
-            )
-        profile = (
-            one.select(F.explode(F.array(*entries)).alias("e"))
-            .select("e.*")
-            .withColumn("top_value", F.lit(None).cast("string"))
-            .withColumn("top_count", F.lit(None).cast("long"))
+            .filter("kind = 0 OR k1 IS NOT NULL")
+            .groupBy("ci", "kind", "k1")
+            .agg(F.expr("count(1) AS cnt"), F.expr("min(k2) AS mw"))
+        )
+        per_col = state.groupBy("ci").agg(
+            F.expr("sum(CASE WHEN kind = 0 THEN cnt END) AS n_rows"),
+            F.expr(
+                "coalesce(sum(CASE WHEN kind = 0 AND k1 IS NOT NULL "
+                "THEN cnt END), CAST(0 AS BIGINT)) AS nn"
+            ),
+            F.expr(
+                "sort_array(collect_list(CASE WHEN kind = 0 AND k1 IS NOT NULL "
+                "THEN named_struct('b', k1, 'c', cnt) END)) AS bins"
+            ),
+            F.expr(
+                "coalesce(sum(CASE WHEN kind = 1 THEN "
+                f"shiftleft(CAST(1 AS BIGINT), {_HLL_W + 1} - {_rank_from_w_sql('mw')}) "
+                "END), CAST(0 AS BIGINT)) AS sp"
+            ),
+            F.expr("count(CASE WHEN kind = 1 THEN 1 END) AS nr"),
+        )
+        # Left-to-right fold over the sorted bounded bin array picks
+        # the first bin whose cumulative count reaches each ceil-rank
+        # (rank_q = ceil(q*nn) in pure integers, formulas inlined and
+        # pinned identically in the oracle).
+        q = """
+            aggregate(
+              bins,
+              named_struct('cum', CAST(0 AS BIGINT),
+                           'b50', CAST(NULL AS BIGINT),
+                           'b95', CAST(NULL AS BIGINT)),
+              (acc, x) -> named_struct(
+                'cum', acc.cum + x.c,
+                'b50', coalesce(acc.b50,
+                       CASE WHEN acc.cum + x.c >= (nn + 1) DIV 2
+                            THEN x.b END),
+                'b95', coalesce(acc.b95,
+                       CASE WHEN acc.cum + x.c >= (95 * nn + 99) DIV 100
+                            THEN x.b END)))
+            """
+        names = "array(" + ", ".join(f"'{c}'" for c in numeric_cols) + ")"
+        profile = per_col.select(
+            F.expr(f"element_at({names}, ci + 1) AS column"),
+            F.col("n_rows"),
+            F.floor(_hll_estimate_expr("sp", "nr")).cast("long").alias("approx_distinct"),
+            F.expr(f"{q} AS q"),
+        ).selectExpr(
+            "column",
+            "n_rows",
+            "approx_distinct",
+            f"CAST({hdr_lower_bound_sql('q.b50')} AS DOUBLE) / {CENTS_SCALE} AS p50",
+            f"CAST({hdr_lower_bound_sql('q.b95')} AS DOUBLE) / {CENTS_SCALE} AS p95",
+            "CAST(NULL AS STRING) AS top_value",
+            "CAST(NULL AS BIGINT) AS top_count",
         )
 
     if categorical_cols:
@@ -203,6 +421,47 @@ HLL_EST_CONST = HLL_ALPHA * HLL_M * HLL_M * float(_HLL_SCALE)
 HLL_LINEAR_LUT = [float(HLL_M) * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
 
 
+def hll_lut_sql() -> str:
+    """The 4096-entry linear-counting lut as a Spark SQL fragment —
+    ONE string literal decoded by from_json (an array(...) of 4096
+    double literals costs ~0.4 s of eager-analysis driver time per
+    plan build; the JSON decode runs only on the few estimate rows).
+    repr round-trips exactly through Jackson's correctly-rounded
+    parseDouble — pinned against the DuckDB literal spelling by
+    test_portable_hll_linear_term_bitstable_over_entire_input_space."""
+    lut_json = "[" + ", ".join(repr(x) for x in HLL_LINEAR_LUT) + "]"
+    return f"from_json('{lut_json}', 'array<double>')"
+
+
+def _hll_estimate_expr(sp: str, nr: str):
+    """The estimator as ONE parsed expression over an exact-int64
+    harmonic-sum expression ``sp`` and register-count expression
+    ``nr`` — shared by the x30 per-group distinct and the x29
+    profile's per-column distinct. Raw/linear-counting branches with
+    bit-stable float ops only (module comment); callers pass a
+    never-NULL ``sp``. Built as a single SQL string: fine-grained
+    Column building costs a py4j round-trip per node (the 4096-F.lit
+    lut alone measured ~5 s of driver time per plan build, r9); the
+    'D' suffix forces DOUBLE parsing so each repr round-trips exactly
+    (Spark's twin of the DuckDB 'e0' gotcha, matrix/ext._dlit).
+    greatest() keeps the lut index valid under ANSI mode when the raw
+    branch is the live one; element_at, not F.log — module comment.
+    The lut travels as ONE string literal decoded by from_json
+    (:func:`hll_lut_sql`), not an array(...) of 4096 double literals —
+    eager analysis walks every literal node on each downstream
+    DataFrame op, ~0.4 s of driver time per x29/x30 plan build
+    (measured, r9), while the JSON decode runs only on the handful of
+    per-group/per-column estimate rows."""
+    lut = hll_lut_sql()
+    s = f"CAST({sp} + ({HLL_M} - {nr}) * {_HLL_SCALE} AS DOUBLE)"
+    v = f"CAST({HLL_M} - {nr} AS BIGINT)"
+    raw = f"({HLL_EST_CONST!r}D / {s})"
+    lin = f"element_at({lut}, CAST(greatest({v}, CAST(1 AS BIGINT)) AS INT))"
+    return F.expr(
+        f"CASE WHEN {raw} <= {2.5 * HLL_M!r}D AND {v} > 0 THEN {lin} ELSE {raw} END"
+    )
+
+
 def _hll_estimate(regs: DataFrame) -> DataFrame:
     """(group, idx, m) register rows → (group, approx_distinct).
     Harmonic fold in exact int64, then the standard raw/linear-counting
@@ -211,16 +470,9 @@ def _hll_estimate(regs: DataFrame) -> DataFrame:
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - m)")).alias("sp"),
         F.count(F.lit(1)).alias("nr"),
     )
-    s = (F.col("sp") + (F.lit(HLL_M) - F.col("nr")) * F.lit(_HLL_SCALE)).cast("double")
-    v = (F.lit(HLL_M) - F.col("nr")).cast("long")
-    raw = F.lit(HLL_EST_CONST) / s
-    # Table lookup, not F.log — module comment; greatest() keeps the
-    # index valid under ANSI mode when the raw branch is the live one.
-    lut = F.array(*[F.lit(x) for x in HLL_LINEAR_LUT])
-    lin = F.element_at(lut, F.greatest(v, F.lit(1)).cast("int"))
     return agg.select(
         "group",
-        F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lin).otherwise(raw).alias("approx_distinct"),
+        _hll_estimate_expr("sp", "nr").alias("approx_distinct"),
     )
 
 

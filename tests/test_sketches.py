@@ -31,19 +31,74 @@ def test_profile_distinct_within_hll_bound(spark, lineitem):
         assert abs(approx - exact[c]) <= max(3, 0.15 * exact[c]), (c, approx, exact[c])
 
 
-def test_profile_quantiles_within_rank_tolerance(spark, lineitem):
-    prof = {r["column"]: r for r in profile_table(lineitem, ["l_quantity"], []).collect()}
-    n = lineitem.count()
-    vals = [r[0] for r in lineitem.select("l_quantity").orderBy("l_quantity").collect()]
-    for q, key in [(0.5, "p50"), (0.95, "p95")]:
-        got = prof["l_quantity"][key]
-        # rank tolerance: value must sit within n/QUANTILE_ACCURACY ranks
-        from sql_engine_spark.operators.sketches import QUANTILE_ACCURACY
+def test_profile_quantiles_within_hdr_relative_error(spark, lineitem):
+    """The HDR sketch reports the LOWER BOUND of the bin holding the
+    ceil-rank value, so: reported <= exact, and exact lies within one
+    bin width (<= max(1 cent, reported * 2^-SUB_BITS)) above it."""
+    from sql_engine_spark.operators.sketches import QUANTILE_SUB_BITS
 
-        tol = max(2, n // QUANTILE_ACCURACY + 1)
-        lo = vals[max(0, int(q * n) - tol)]
-        hi = vals[min(n - 1, int(q * n) + tol)]
-        assert lo <= got <= hi, (key, got, lo, hi)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    prof = {r["column"]: r for r in profile_table(lineitem, cols, []).collect()}
+    for c in cols:
+        vals = sorted(
+            round(r[0] * 100) for r in lineitem.select(c).collect() if r[0] is not None
+        )
+        nn = len(vals)
+        for num, den, key in [(1, 2, "p50"), (95, 100, "p95")]:
+            rank = -(-num * nn // den)  # ceil(q*nn)
+            exact_cents = vals[rank - 1]
+            got_cents = round(prof[c][key] * 100)
+            width = max(1, got_cents >> QUANTILE_SUB_BITS)
+            assert got_cents <= exact_cents <= got_cents + width, (
+                c, key, got_cents, exact_cents, width,
+            )
+
+
+def test_hdr_bin_roundtrip_and_cross_engine_parity(spark):
+    """hdr_bin/hdr_lower_bound: lb(bin(v)) <= v < lb(bin(v)) + width,
+    bin monotone in v — and the Spark and DuckDB spellings of both
+    expressions agree value-for-value (incl. 0, unit bins, octave
+    boundaries, and mirrored negatives)."""
+    import duckdb
+
+    from sql_engine_spark.operators.sketches import (
+        QUANTILE_SUB_BITS,
+        hdr_bin_sql,
+        hdr_lower_bound_sql,
+    )
+
+    probe = sorted(
+        {0, 1, 2, 127, 128, 129, 255, 256, 1 << 20, (1 << 20) + 12345, 5273875}
+        | {(1 << k) + d for k in range(7, 31) for d in (-1, 0, 1)}
+    )
+    probe = probe + [-v for v in probe if v]
+    sdf = spark.createDataFrame([(v,) for v in probe], "v long").selectExpr(
+        "v", f"{hdr_bin_sql('v')} AS b"
+    ).selectExpr("v", "b", f"{hdr_lower_bound_sql('b')} AS lb")
+    srows = {r["v"]: (r["b"], r["lb"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    drows = {
+        v: (b, lb)
+        for v, b, lb in con.execute(
+            "SELECT v, "
+            + hdr_bin_sql("v", duck=True)
+            + " AS b, "
+            + hdr_lower_bound_sql(hdr_bin_sql("v", duck=True), duck=True)
+            + " AS lb FROM (SELECT unnest(?::BIGINT[]) AS v)",
+            [probe],
+        ).fetchall()
+    }
+    con.close()
+    assert srows == drows
+    prev_bin = None
+    for v in sorted(probe):
+        b, lb = srows[v]
+        width = max(1, abs(lb) >> QUANTILE_SUB_BITS)
+        assert lb <= v if v >= 0 else lb >= v, (v, b, lb)
+        assert abs(v - lb) < width + 1, (v, b, lb, width)
+        if prev_bin is not None:
+            assert b >= prev_bin, (v, b, prev_bin)
+        prev_bin = b
 
 
 def test_profile_heavy_hitter_exact(spark, lineitem):
@@ -109,19 +164,21 @@ def test_portable_hll_linear_term_bitstable_over_entire_input_space(spark, sf_di
     m·ln(m/V) term as a precomputed 4096-entry table instead
     (sketches.HLL_LINEAR_LUT), formatted verbatim into both the Spark
     plan and the oracle SQL. The remaining risk surface is the literal
-    round-trip itself (repr → each engine's decimal parser), so
-    enumerate the ENTIRE input space on both engines and require
-    repr-identical doubles — a finite-input-space proof, robust to any
-    corpus regeneration. (The raw branch is a single int64→double cast
-    + one division, correctly rounded identically by IEEE 754.)"""
+    round-trip itself (repr → each engine's decimal parser — on the
+    Spark side Jackson's parseDouble, since the operator ships the lut
+    as one from_json string literal, sketches.hll_lut_sql), so
+    enumerate the ENTIRE input space on both engines THROUGH THE
+    OPERATOR'S OWN SPELLING and require repr-identical doubles — a
+    finite-input-space proof, robust to any corpus regeneration. (The
+    raw branch is a single int64→double cast + one division, correctly
+    rounded identically by IEEE 754.)"""
     import duckdb
 
-    from sql_engine_spark.operators.sketches import HLL_LINEAR_LUT, HLL_M
+    from sql_engine_spark.operators.sketches import HLL_LINEAR_LUT, HLL_M, hll_lut_sql
 
-    lut = F.array(*[F.lit(x) for x in HLL_LINEAR_LUT])
     got = (
         spark.range(1, HLL_M + 1)
-        .select(F.col("id").alias("v"), F.element_at(lut, F.col("id").cast("int")).alias("e"))
+        .selectExpr("id AS v", f"element_at({hll_lut_sql()}, CAST(id AS INT)) AS e")
         .collect()
     )
     spark_vals = {r.v: repr(r.e) for r in got}
