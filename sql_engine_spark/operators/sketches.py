@@ -134,12 +134,6 @@ def _rank_from_w_sql(w: str, duck: bool = False) -> str:
     )
 
 
-def hll_rank_sql(h: str, duck: bool = False) -> str:
-    """Rank directly from hash ``h`` (shift + :func:`_rank_from_w_sql`)."""
-    w = f"({h} // {1 << HLL_P})" if duck else f"shiftright({h}, {HLL_P})"
-    return _rank_from_w_sql(w, duck)
-
-
 def _estimated_scan_partitions(df: DataFrame) -> int:
     """Estimated scan-task count for ``df``: optimizer-stats size (the
     column-pruned file-footer estimate — no job, no RDD conversion,
