@@ -53,11 +53,17 @@ _DRIVER_ORDER = [
     "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
     "x48_multi_query_topk", "x49_knn_classify",
-    # -- remaining residents of the OTHER two r9-changed files
-    # (matrix/ext.py, matrix/wave5.py): their diffs are additive
+    # -- sentinel residents of the OTHER two r9-changed files
+    # (matrix/ext.py, matrix/wave5.py). Those diffs are additive
     # builder machinery with static strings pinned byte-equal by
-    # test_units, but the changed-files-first policy re-runs every
-    # resident of a touched file (the r8 wave6.py precedent) ---------
+    # test_units, and ext.py hosts ~a third of the whole matrix —
+    # promoting every resident would evict the judge-directed r5/r6
+    # stale cohort from the ~50-row budget entirely. Budget-aware
+    # compromise: this subset re-runs as sentinels for the touched
+    # files (full file-granularity promotion, the r8 wave6 precedent,
+    # is deliberately NOT applied here; the remaining residents keep
+    # their old rows and rotate forward on the normal staleness
+    # schedule) ------------------------------------------------------
     "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
     "x05_dedup_simhash", "x11_text_langid", "x20_dedup_components",
     "x22_text_sentiment", "x56_chunk_dedup",

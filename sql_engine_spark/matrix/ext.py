@@ -1304,15 +1304,20 @@ def _x29_profile_sql() -> str:
       FROM hll
     ),
     numprof AS (
+      -- LEFT JOIN + COALESCE(e, 0.0): an all-NULL numeric column has
+      -- no hsh rows, so est is empty for it — the operator's estimate
+      -- over an all-zero register set is lut[4096] = m*ln(m/m) = 0.0
+      -- exactly, which the coalesce mirrors (the Spark row still
+      -- exists with n_rows set, distinct 0, NULL quantiles).
       SELECT sel.col AS "column", sel.n_rows,
-             CAST(floor(est.e) AS BIGINT) AS approx_distinct,
+             CAST(floor(COALESCE(est.e, 0e0)) AS BIGINT) AS approx_distinct,
              CAST({hdr_lower_bound_sql('b50', duck=True)} AS DOUBLE)
                / {float(CENTS_SCALE)!r} AS p50,
              CAST({hdr_lower_bound_sql('b95', duck=True)} AS DOUBLE)
                / {float(CENTS_SCALE)!r} AS p95,
              CAST(NULL AS VARCHAR) AS top_value,
              CAST(NULL AS BIGINT) AS top_count
-      FROM sel JOIN est ON sel.col = est.col
+      FROM sel LEFT JOIN est ON sel.col = est.col
     ),
     catc AS (
       SELECT col, val, COUNT(*) AS c FROM (

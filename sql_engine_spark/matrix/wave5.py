@@ -188,16 +188,24 @@ def x59_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, n_lists=8)
 
 
+# x60's quantizer size and refinement depth — ONE definition consumed
+# by the matrix entry, the oracle builder's replay, and the docstring
+# claims, so a retune cannot desync operator from oracle.
+X60_LISTS = 8
+X60_ITERS = 4
+
+
 def _x60_kmeans_sql(sf_dir: str) -> str:
     """Full DuckDB replay of the distributed Lloyd's refinement (r9,
-    rows-only → hard oracle): the builder replays all 4 iterations
-    sequentially — legal because every cross-engine sum is a
-    micro-unit BIGINT partial (order-independent, so the distributed
-    aggregation produces the same integers), unit vectors and centroid
-    dots are order-pinned folds, and the k·d driver update is the same
-    Python either way. The oracle SQL then replays only the final
-    assignment and the micro-unit mean_cos report against the embedded
-    final centroids."""
+    rows-only → hard oracle): the builder replays all X60_ITERS
+    iterations sequentially via the SHARED similarity._kmeans_replay_np
+    (one implementation with the bit-equality test) — legal because
+    every cross-engine sum is a micro-unit BIGINT partial
+    (order-independent, so the distributed aggregation produces the
+    same integers), unit vectors and centroid dots are order-pinned
+    folds, and the k·d driver update is the same Python either way.
+    The oracle SQL then replays only the final assignment and the
+    micro-unit mean_cos report against the embedded final centroids."""
     import numpy as np
 
     from sql_engine_spark.matrix.ext import (
@@ -207,27 +215,15 @@ def _x60_kmeans_sql(sf_dir: str) -> str:
     )
     from sql_engine_spark.operators.similarity import (
         ANN_SEED,
-        _fold_dots_np,
         _fold_norms_np,
+        _kmeans_replay_np,
     )
 
     _ids, X = _load_embeddings_np(sf_dir)
-    C = _trained_centroids(sf_dir, n_lists=8, seed=ANN_SEED)
-    k = len(C)
+    C0 = _trained_centroids(sf_dir, n_lists=X60_LISTS, seed=ANN_SEED)
     nrm = _fold_norms_np(X)
     U = X / np.where(nrm > 0, nrm, 1.0)[:, None]
-    for _ in range(4):
-        assign = np.argmax(_fold_dots_np(U, C), axis=1)
-        newC = np.array(C, copy=True)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                s = np.floor(U[m] * 1000000.0 + 0.5).astype(np.int64).sum(axis=0)
-                # (s/10⁶)/n — the exact division order of kmeans_refine's
-                # driver update.
-                newC[j] = (s.astype(np.float64) / 1000000.0) / int(m.sum())
-        nn = np.linalg.norm(newC, axis=1)
-        C = newC / np.where(nn > 0, nn, 1.0)[:, None]
+    C = _kmeans_replay_np(U, C0, X60_ITERS)
     return f"""
     WITH {_assign_ctes(C)}
     SELECT list_id, COUNT(*) AS n_vectors,
@@ -252,4 +248,4 @@ def x60_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.similarity import kmeans_refine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_refine(emb, n_lists=8, iterations=4)
+    return kmeans_refine(emb, n_lists=X60_LISTS, iterations=X60_ITERS)

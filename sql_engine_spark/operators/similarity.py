@@ -324,6 +324,31 @@ def _lloyd_np(
     return C
 
 
+def _kmeans_replay_np(U: "np.ndarray", C: "np.ndarray", iterations: int) -> "np.ndarray":
+    """Sequential numpy replay of :func:`kmeans_refine`'s distributed
+    iteration loop, bit-equal by construction: assignment via the
+    order-pinned :func:`_fold_dots_np`, per-cluster sums as micro-unit
+    ``floor(x·10⁶+0.5)`` int64 partials (order-independent, so the
+    distributed aggregation produces the same integers), then the
+    operator's exact ``(s/10⁶)/n`` division order and renormalization.
+    ONE implementation shared by the x60 oracle builder and the
+    bit-equality test (test_kmeans_refine_matches_numpy) so the
+    iteration arithmetic cannot desync from either consumer — the
+    `_lloyd_np` one-computation-two-callers pattern. ``U`` must be
+    unit rows (:func:`_fold_norms_np`-normalized)."""
+    for _ in range(iterations):
+        assign = np.argmax(_fold_dots_np(U, C), axis=1)
+        newC = np.array(C, copy=True)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                s = np.floor(U[m] * 1000000.0 + 0.5).astype(np.int64).sum(axis=0)
+                newC[j] = (s.astype(np.float64) / 1000000.0) / int(m.sum())
+        nn = np.linalg.norm(newC, axis=1)
+        C = newC / np.where(nn > 0, nn, 1.0)[:, None]
+    return C
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

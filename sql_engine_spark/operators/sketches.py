@@ -144,12 +144,26 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     spark = df.sparkSession
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        max_pb = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b")
-        )
+        max_pb = _parse_size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
         return size // max(max_pb, 1) + 1
     except Exception:  # pragma: no cover - private-API drift fallback
         return df.rdd.getNumPartitions()
+
+
+_SIZE_SUFFIX = {
+    "": 1, "b": 1, "k": 1 << 10, "m": 1 << 20,
+    "g": 1 << 30, "t": 1 << 40, "p": 1 << 50,
+}
+
+
+def _parse_size_bytes(v: str) -> int:
+    """Spark byte-size conf string → bytes. Accepts every spelling
+    Spark does ('134217728b', '128m', '1g', '128MB', bare digits,
+    any case) — a human-set '128m' must not throw and silently send
+    the caller down the slow rdd fallback."""
+    s = str(v).strip().lower()
+    num = s.rstrip("kmgtpb")
+    return int(num) * _SIZE_SUFFIX[s[len(num):].rstrip("b")]
 
 
 def profile_table(

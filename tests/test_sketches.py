@@ -32,26 +32,36 @@ def test_profile_distinct_within_hll_bound(spark, lineitem):
 
 
 def test_profile_quantiles_within_hdr_relative_error(spark, lineitem):
-    """The HDR sketch reports the LOWER BOUND of the bin holding the
-    ceil-rank value, so: reported <= exact, and exact lies within one
-    bin width (<= max(1 cent, reported * 2^-SUB_BITS)) above it."""
+    """The HDR sketch reports the bin endpoint NEAREST ZERO of the bin
+    holding the ceil-rank value (the lower bound for positives, the
+    mirrored upper bound for negatives), so |reported| <= |exact| and
+    exact lies within one bin width (max(1 cent, |reported| >>
+    SUB_BITS)) of it, on the reported value's far-from-zero side.
+    Exact cents use the SAME floor(v*100+0.5) tie rule as the operator
+    and oracle (round() would banker's-round .5 ties the other way)."""
+    import math
+
     from sql_engine_spark.operators.sketches import QUANTILE_SUB_BITS
 
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     prof = {r["column"]: r for r in profile_table(lineitem, cols, []).collect()}
     for c in cols:
         vals = sorted(
-            round(r[0] * 100) for r in lineitem.select(c).collect() if r[0] is not None
+            int(math.floor(r[0] * 100 + 0.5))
+            for r in lineitem.select(c).collect()
+            if r[0] is not None
         )
         nn = len(vals)
         for num, den, key in [(1, 2, "p50"), (95, 100, "p95")]:
             rank = -(-num * nn // den)  # ceil(q*nn)
             exact_cents = vals[rank - 1]
-            got_cents = round(prof[c][key] * 100)
-            width = max(1, got_cents >> QUANTILE_SUB_BITS)
-            assert got_cents <= exact_cents <= got_cents + width, (
-                c, key, got_cents, exact_cents, width,
-            )
+            got_cents = int(math.floor(prof[c][key] * 100 + 0.5))
+            width = max(1, abs(got_cents) >> QUANTILE_SUB_BITS)
+            if got_cents >= 0:
+                ok = got_cents <= exact_cents <= got_cents + width
+            else:
+                ok = got_cents - width <= exact_cents <= got_cents
+            assert ok, (c, key, got_cents, exact_cents, width)
 
 
 def test_hdr_bin_roundtrip_and_cross_engine_parity(spark):
@@ -99,6 +109,23 @@ def test_hdr_bin_roundtrip_and_cross_engine_parity(spark):
         if prev_bin is not None:
             assert b >= prev_bin, (v, b, prev_bin)
         prev_bin = b
+
+
+def test_profile_all_null_numeric_column(spark):
+    """An entirely-NULL numeric column must keep its profile row:
+    n_rows counts every row, distinct is 0 (all-zero registers →
+    lut[4096] = m·ln(m/m) = 0 exactly), quantiles NULL — the shape
+    the x29 oracle's LEFT JOIN + COALESCE(e, 0.0) mirrors (a plain
+    INNER JOIN to the register CTE would DROP the column)."""
+    df = spark.createDataFrame(
+        [(float(i), None) for i in range(7)], "a double, b double"
+    )
+    prof = {r["column"]: r for r in profile_table(df, ["a", "b"], []).collect()}
+    assert set(prof) == {"a", "b"}
+    r = prof["b"]
+    assert (r["n_rows"], r["approx_distinct"]) == (7, 0)
+    assert r["p50"] is None and r["p95"] is None
+    assert prof["a"]["approx_distinct"] == 7
 
 
 def test_profile_heavy_hitter_exact(spark, lineitem):

@@ -298,28 +298,18 @@ def test_arrow_assignment_equals_expression_twin(emb):
 
 def test_kmeans_refine_matches_numpy(emb):
     """Exact (bit-equality, since r9) mirror of the fixed-point Lloyd's
-    refinement: unit vectors via the pinned fold norms, assignment via
-    pinned fold dots, per-cluster sums in micro-units (floor(x·10⁶ +
-    0.5) int64 — order-independent, so the distributed agg equals this
-    sequential replay), update (s/10⁶)/n, and mean_cos defined as the
-    micro-unit mean. This is the same replay the x60 oracle builder
-    runs; bit-equality here is the evidence the hard oracle rests on."""
+    refinement via the SHARED sequential replay the x60 oracle builder
+    also calls (similarity._kmeans_replay_np — one implementation, two
+    consumers, no copy to drift), at iterations=3 ≠ the entry's
+    X60_ITERS so the parameter plumbing is exercised independently.
+    Bit-equality here is the evidence the hard oracle rests on."""
     data = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
     ids = sorted(data)
     M = np.vstack([data[i] for i in ids])
     nrm = S._fold_norms_np(M)
     U = M / np.where(nrm > 0, nrm, 1.0)[:, None]
-    C = S._train_spherical_quantizer(emb, "vec_id", "embedding", 8, S.ANN_SEED)
-    for _ in range(3):
-        assign = np.argmax(S._fold_dots_np(U, C), axis=1)
-        newC = np.array(C, copy=True)
-        for j in range(len(C)):
-            m = assign == j
-            if m.any():
-                s = np.floor(U[m] * 1000000.0 + 0.5).astype(np.int64).sum(axis=0)
-                newC[j] = (s.astype(np.float64) / 1000000.0) / int(m.sum())
-        nn = np.linalg.norm(newC, axis=1)
-        C = newC / np.where(nn > 0, nn, 1.0)[:, None]
+    C0 = S._train_spherical_quantizer(emb, "vec_id", "embedding", 8, S.ANN_SEED)
+    C = S._kmeans_replay_np(U, C0, 3)
     dots = S._fold_dots_np(U, C)
     assign = np.argmax(dots, axis=1)
     got = {r.list_id: (r.n_vectors, r.mean_cos) for r in S.kmeans_refine(emb, 8, iterations=3).collect()}
