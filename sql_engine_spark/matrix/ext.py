@@ -292,8 +292,9 @@ _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
 # The MinHash/SimHash operators hash shingles with the PORTABLE family
 # (operators/dedup.py: 60-bit md5-prefix ints + affine minhashes mod
 # 2³¹−1), so DuckDB replays the exact signatures — these entries are
-# hard oracle rows, not rows-only. The hex fold below computes the same
-# integer Spark gets from conv(substring(md5(g),1,15),16,10).
+# hard oracle rows, not rows-only. The '0x…'::BIGINT cast below parses
+# the same integer Spark gets from conv(substring(md5(g),1,15),16,10)
+# (bit-identical to the old per-char strpos fold, ~11× faster — r9).
 _PORTABLE_SHINGLES_CTE = """
 tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 gr AS (
@@ -303,9 +304,8 @@ gr AS (
 ),
 psh AS (
   SELECT doc_id,
-         list_distinct(list_transform(gs, t -> list_reduce(
-             [strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 for i in range(1, 16)],
-             (a, b) -> a * 16 + b))) AS s
+         list_distinct(list_transform(gs,
+             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS s
   FROM gr
 ),
 u AS (SELECT doc_id, unnest(s) AS x FROM psh)
@@ -1384,8 +1384,7 @@ def _x30_hll_sql() -> str:
     return f"""
     WITH hsh AS (
       SELECT source,
-             list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
-                          for i in range(1, 16)], (a, b) -> a * 16 + b) AS h
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM documents WHERE doc_id IS NOT NULL
     ),
     rk AS (

@@ -322,12 +322,15 @@ def test_portable_hash_matches_duckdb_fold(spark):
     }
     con = duckdb.connect()
     for t in texts:
-        (want,) = con.execute(
-            "SELECT list_reduce([strpos('0123456789abcdef', substr(md5(?), i, 1)) - 1 "
+        # the SHIPPED oracle spelling (r9: '0x…'::BIGINT cast), plus
+        # the original per-char strpos fold as an independent witness
+        (want, fold) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT, "
+            "list_reduce([strpos('0123456789abcdef', substr(md5(?), i, 1)) - 1 "
             "for i in range(1, 16)], (a, b) -> a * 16 + b)",
-            [t],
+            [t, t],
         ).fetchone()
-        assert got[t] == want, (t, got[t], want)
+        assert got[t] == want == fold, (t, got[t], want, fold)
 
 
 def test_minhash_oracle_coeffs_are_shared_objects(spark):
