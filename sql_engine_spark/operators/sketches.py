@@ -3,7 +3,8 @@
 The profiling pass a training-data pipeline runs before anything else:
 per-column approximate distinct counts, quantiles, and heavy hitters.
 At 100 TB none of these can be exact-and-cheap at the same time, so the
-operator uses the standard mergeable one-pass sketches Spark ships:
+operator uses mergeable one-pass sketches — since r9 the repo's own
+portable (cross-engine bit-replayable) ones:
 
 - **HyperLogLog** — the repo's PORTABLE-register HLL (below) for the
   profile and x30 (SQL-replayable, hard-oracle); the DataSketches
@@ -20,7 +21,7 @@ operator uses the standard mergeable one-pass sketches Spark ships:
 
 The profile of a 100 TB table costs exactly TWO scans, independent of
 column count: one melted scan for every numeric sketch (bins +
-registers in one explode), one melted scan for every categorical
+registers in one stack()), one melted scan for every categorical
 heavy hitter — asserted in tests/test_plans.py. Since r9 every
 profile output value is deterministic and SQL-replayable, so x29 is a
 hard DuckDB-oracle row; accuracy bounds vs exact recomputation are
@@ -178,8 +179,8 @@ def profile_table(
     profile = None
     if numeric_cols:
         # ONE melted scan for every numeric sketch: each row emits,
-        # per column, an HDR-bin struct (always — NULL bin carries the
-        # null count into n_rows) and an HLL-register struct (non-null
+        # per column, an HDR-bin row (always — a NULL bin carries the
+        # null count into n_rows) and an HLL-register row (non-null
         # values only; k2 carries the raw 48-bit hash window — the
         # leading-zero RANK is monotone non-increasing in w, so
         # max(rank) == rank(min(w)) and the string-op rank expression
@@ -216,10 +217,12 @@ def profile_table(
         # on the whole state agg (r9). Scalar pieces (cents, hash,
         # bin, register idx/window) are precomputed per column in
         # chained projections, so the Generate itself carries only
-        # column references; the separate `h` projection also
-        # guarantees the md5 runs once per value (expression CSE does
-        # NOT dedupe it across output fields; measured 3x slower
-        # fused, r9).
+        # column references; the hash h{i} is materialized as its own
+        # column BEFORE idx/window derive from it, so the md5 runs
+        # once per value (expression CSE does NOT dedupe a repeated
+        # subexpression across output fields; measured 3x slower
+        # fused, r9 — the cents recompute inside the hash is two
+        # cheap float ops and doesn't matter).
         nc = len(numeric_cols)
         hashed = base.selectExpr(
             *[f"{cents_sql(f'`{c}`')} AS v{i}" for i, c in enumerate(numeric_cols)],
