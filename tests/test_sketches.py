@@ -79,8 +79,8 @@ def test_hdr_bin_roundtrip_and_cross_engine_parity(spark):
 
     probe = sorted(
         {0, 1, 2, 127, 128, 129, 255, 256, 1 << 20, (1 << 20) + 12345, 5273875}
-        | {(1 << k) + d for k in range(7, 31) for d in (-1, 0, 1)}
-    )
+        | {(1 << k) + d for k in range(7, 63) for d in (-1, 0, 1)}
+    )  # every octave boundary up to 2^62 — the full BIGINT cents domain
     probe = probe + [-v for v in probe if v]
     sdf = spark.createDataFrame([(v,) for v in probe], "v long").selectExpr(
         "v", f"{hdr_bin_sql('v')} AS b"
