@@ -73,20 +73,20 @@ def _hyperplanes(dim: int, n_planes: int = ANN_PLANES, seed: int = ANN_SEED) -> 
     return rng.standard_normal((n_planes, dim))
 
 
-def _fmt_double(x: float) -> str:
-    """SQL double literal with exact round-trip: repr() is the shortest
-    string that parses back to the same double; the D suffix stops
-    Spark from typing a plain decimal as DECIMAL."""
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r) else r + "D"
-
-
 def _planes_sql(planes: np.ndarray) -> str:
-    return (
-        "array("
-        + ",".join("array(" + ",".join(_fmt_double(v) for v in p) + ")" for p in planes)
-        + ")"
-    )
+    """The plane/centroid matrix as a Spark SQL fragment — ONE
+    from_json string literal, not array(array(...)) of k·d double
+    literals. Eager analysis walks every literal node again on each
+    downstream DataFrame op (~0.4 s per 4096 literals, measured on the
+    x29 lut, r9), while from_json is a single node that the optimizer
+    CONSTANT-FOLDS into the identical array literal before execution
+    (verified: the optimized plan carries the folded array, and repr
+    round-trips bit-exactly through Jackson's parseDouble — the same
+    contract test_portable_hll_linear_term_bitstable... pins for the
+    lut). Values and downstream fold arithmetic are therefore
+    unchanged bit-for-bit."""
+    js = "[" + ",".join("[" + ",".join(repr(float(v)) for v in p) + "]" for p in planes) + "]"
+    return f"from_json('{js}', 'array<array<double>>')"
 
 
 def with_srp_bands(
