@@ -111,6 +111,73 @@ def test_hdr_bin_roundtrip_and_cross_engine_parity(spark):
         prev_bin = b
 
 
+def test_hdr_bin_randomized_three_way_parity(spark):
+    """Randomized reinforcement of the boundary probe: Spark, DuckDB,
+    and an INDEPENDENT Python reference of the HDR bin math must agree
+    on arbitrary BIGINT cents in ±2⁶² (the derivation below uses
+    int.bit_length / plain shifts — none of the SQL spellings), and
+    every reported lower bound must satisfy the one-bin error contract.
+    Seeded sample, one batched comparison per engine — not per-value
+    round trips."""
+    import random
+
+    import duckdb
+
+    from sql_engine_spark.operators.sketches import (
+        QUANTILE_SUB_BITS,
+        _QSB,
+        hdr_bin_sql,
+        hdr_lower_bound_sql,
+    )
+
+    def py_bin(v: int) -> int:
+        a = abs(v)
+        if a < _QSB:
+            pos = a
+        else:
+            o = a.bit_length()
+            pos = o * _QSB + (a >> (o - 1 - QUANTILE_SUB_BITS)) - _QSB
+        return pos if v >= 0 else -pos
+
+    def py_lb(b: int) -> int:
+        a = abs(b)
+        if a < (1 + QUANTILE_SUB_BITS) * _QSB:
+            pos = a
+        else:
+            pos = (_QSB + a % _QSB) << (a // _QSB - 1 - QUANTILE_SUB_BITS)
+        return pos if b >= 0 else -pos
+
+    rng = random.Random(20260815)
+    probe = [rng.randint(-(1 << 62), 1 << 62) for _ in range(4000)] + [
+        rng.randint(-(1 << k), 1 << k) for k in range(1, 63) for _ in range(8)
+    ]
+    want = {v: (py_bin(v), py_lb(py_bin(v))) for v in probe}
+    srows = {
+        r["v"]: (r["b"], r["lb"])
+        for r in spark.createDataFrame([(v,) for v in probe], "v long")
+        .selectExpr("v", f"{hdr_bin_sql('v')} AS b")
+        .selectExpr("v", "b", f"{hdr_lower_bound_sql('b')} AS lb")
+        .collect()
+    }
+    con = duckdb.connect()
+    drows = {
+        v: (b, lb)
+        for v, b, lb in con.execute(
+            "SELECT v, "
+            + hdr_bin_sql("v", duck=True)
+            + " AS b, "
+            + hdr_lower_bound_sql(hdr_bin_sql("v", duck=True), duck=True)
+            + " AS lb FROM (SELECT unnest(?::BIGINT[]) AS v)",
+            [probe],
+        ).fetchall()
+    }
+    con.close()
+    assert srows == want and drows == want
+    for v, (b, lb) in want.items():
+        width = max(1, abs(lb) >> QUANTILE_SUB_BITS)
+        assert abs(lb) <= abs(v) < abs(lb) + width, (v, b, lb)
+
+
 def test_profile_all_null_numeric_column(spark):
     """An entirely-NULL numeric column must keep its profile row:
     n_rows counts every row, distinct is 0 (all-zero registers →
