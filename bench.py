@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "x06_sim_topk_brute",
     "x12_text_fingerprint",
     "x14_sessionize_batch",
+    "x18_sim_ivf",
     "x27_skyline",
     "x29_sketch_profile",
     "x32_multimodal_decode",
@@ -91,11 +92,15 @@ BENCH_QUERIES = [
 RUNS_OVERRIDE = {
     "q1_pricing_summary": 5,  # VERDICT r8 #3: drifted to 0.736 [0.599,0.851] on untouched code (r7 0.443) — n=5 certifies drift vs regression
     "q18_large_orders": 5,  # VERDICT r7 #4: most spread-prone flagship ([0.897,1.309] at n=3) — n=5 settles noise vs regression
+    "x06_sim_topk_brute": 5,  # VERDICT r9 #3: 1.70× n=3 spread in the driver run — n=5
+    "x18_sim_ivf": 5,  # VERDICT r9 #1: first standing bracket for the (now Arrow) IVF probe — n=5
     "x29_sketch_profile": 5,
     "x32_multimodal_decode": 5,  # VERDICT r7 #2: first longitudinal record of the Arrow decode path — n=5 for a solid first bracket
     "x33_contamination": 5,
     "x38_containment": 5,
+    "x43_bigram_rarity": 5,  # VERDICT r9 #3: 1.42× n=3 spread in the driver run — n=5
     "x56_chunk_dedup": 5,  # VERDICT r5 #5: 0.46→0.80 s driver drift on untouched code — n=5 decides noise vs real
+    "x58_weighted_sample": 5,  # VERDICT r9 #3: 1.77× n=3 spread in the driver run — n=5
     "x59_semantic_dedup": 5,
 }
 
@@ -111,7 +116,11 @@ RUNS_OVERRIDE = {
 # first pass triggers ONE full re-measure; the pass with the cleaner
 # canary becomes the official timings (both canaries stay in detail).
 CANARY_QUERY = "e08_distinct"
-CANARY_CLEAN = 1.3
+# 1.3 → 1.2 in r10 (VERDICT r9 #3): BENCH_r09 shipped at spread 1.27 —
+# under the old rerun line yet uniformly ~1.2× inflated across
+# untouched JVM-only queries, i.e. visibly contended. Runs in the
+# 1.2–1.3 band now buy the one re-measure instead of shipping.
+CANARY_CLEAN = 1.2
 
 
 def _noop(df) -> None:
@@ -274,6 +283,14 @@ def _scale_probe(spark, sf_dir: str) -> dict:
         ),
         # corpus-rewriting dedup: keep-first min-struct agg + per-doc rebuild
         "x56_chunk_dedup": lambda df: noop(P.chunk_dedup(df)),
+        # incremental ingest dedup (VERDICT r9 #2): the new batch
+        # (doc_id%10==0) probes the corpus index one-sided; under this
+        # protocol batch and corpus both grow k×, so a healthy probe
+        # grows ~linearly (~k×) — growth tracking batch×corpus
+        # (≈k²×) would falsify the one-sided claim.
+        "x54_incremental_dedup": lambda df: noop(
+            P.incremental_jaccard_pairs(df, threshold=0.8, new_mod=10)
+        ),
     }
 
     probe: dict = {}

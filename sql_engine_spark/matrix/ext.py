@@ -194,12 +194,28 @@ def _x07_ann_sql() -> str:
 # DuckDB list_position).
 
 
-@functools.lru_cache(maxsize=4)
+def _emb_mtime(sf_dir: str) -> float:
+    """Freshness key for the memoized embedding reads (ADVICE r9):
+    keyed on the parquet's mtime, an in-process testdata regeneration
+    can never serve stale embeddings/centroids to oracle builders."""
+    import os
+
+    try:
+        return os.path.getmtime(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        return -1.0
+
+
 def _load_embeddings_np(sf_dir: str):
+    return _load_embeddings_np_at(sf_dir, _emb_mtime(sf_dir))
+
+
+@functools.lru_cache(maxsize=4)
+def _load_embeddings_np_at(sf_dir: str, _mtime: float):
     """(ids, X) of the full embeddings table ordered by vec_id, as the
     same float64 matrix Spark's orderBy-collect fetch produces.
-    Cached per sf_dir (callers only read), so the three oracle
-    builders share one DuckDB read per import/sweep."""
+    Cached per (sf_dir, file mtime) — callers only read — so the three
+    oracle builders share one DuckDB read per import/sweep."""
     import duckdb
     import numpy as np
 
@@ -214,13 +230,17 @@ def _load_embeddings_np(sf_dir: str):
     return ids, X
 
 
-@functools.lru_cache(maxsize=8)
 def _trained_centroids(sf_dir: str, n_lists: int, seed: int):
+    return _trained_centroids_at(sf_dir, _emb_mtime(sf_dir), n_lists, seed)
+
+
+@functools.lru_cache(maxsize=8)
+def _trained_centroids_at(sf_dir: str, _mtime: float, n_lists: int, seed: int):
     """Seeded quantizer centroids for ``sf_dir`` — the ONE training
     both the x18 builder (n_lists=16) and the x59/x60 builders
-    (n_lists=8) go through, cached so identical (sf, k, seed) trains
-    run once per sweep. Read-only to callers (:func:`_lloyd_np`
-    rebinds, never mutates)."""
+    (n_lists=8) go through, cached per (sf, mtime, k, seed) so
+    identical trains run once per sweep. Read-only to callers
+    (:func:`_lloyd_np` rebinds, never mutates)."""
     from sql_engine_spark.operators.similarity import IVF_TRAIN_MAX, _lloyd_np
 
     _ids, X = _load_embeddings_np(sf_dir)

@@ -261,11 +261,26 @@ def ivf_topk(
     Here assignment happens inline; the probe is a small-int ``isin``
     filter. Seeded sample + seeded Lloyd's → deterministic lists, and
     no per-call distributed training jobs.
+
+    The inline assignment is the Arrow numpy pass
+    (:func:`_assign_lists_arrow` with raw-vec passthrough, r10): the
+    JVM higher-order-fold twin is interpreted O(k·d) per row — 14×
+    slower measured (7.27 s vs 0.49 s at sf0.1) — and buys nothing at
+    query time, because ``list_id`` is a computed column either way
+    (no parquet pushdown) and the rerank's bit-exact oracle replay
+    needs only the RAW vectors, which pass through Arrow unchanged.
+    The JVM twin (:func:`_with_list_assignment`) remains the INGEST
+    tool — writing ``list_id`` as a partition column so a probe
+    partition-prunes without any per-row work at all. Plan: one
+    pruned scan → one mapInPandas → list_id filter →
+    TakeOrderedAndProject; no Exchange (pinned in tests/test_plans).
     """
     C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
-    assigned = _with_list_assignment(df, C, vec_col)
+    assigned = _assign_lists_arrow(df, C, id_col, vec_col, payload="vec")
     probe = ivf_probe_order(C, query_vec, n_probe)
-    cands = assigned.filter(F.col("list_id").isin(*probe)).select(id_col, vec_col)
+    cands = assigned.filter(F.col("list_id").isin(*probe)).select(
+        F.col("id").alias(id_col), vec_col
+    )
     return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)
 
 
@@ -539,18 +554,24 @@ def _fold_dots_np(A: "np.ndarray", B: "np.ndarray") -> np.ndarray:
 
 
 def _assign_lists_arrow(
-    df: DataFrame, C: "np.ndarray", id_col: str, vec_col: str
+    df: DataFrame, C: "np.ndarray", id_col: str, vec_col: str, payload: str = "unit"
 ) -> DataFrame:
-    """(id, list_id, unit) cluster assignment as ONE Arrow
+    """(id, list_id, payload) cluster assignment as ONE Arrow
     ``mapInPandas`` pass: normalize and argmax the centroid dots with
-    order-pinned vectorized folds (:func:`_fold_dots_np`). The
-    scan-stage expression twin (:func:`_with_list_assignment`) stays
-    the right tool where the assignment must remain JVM-side (IVF
-    probe filters, partition pruning); for :func:`semantic_dedup` the
-    unit vectors cross into Python immediately afterwards anyway (the
-    pair stage), and the interpreted O(k·d)-per-row higher-order folds
-    are the slow path that also JIT-warms over several runs —
-    vectorized numpy is flat from call one (the
+    order-pinned vectorized folds (:func:`_fold_dots_np`).
+    ``payload="unit"`` carries the l2-normalized double vector (the
+    :func:`semantic_dedup` pair stage consumes it); ``payload="vec"``
+    passes the RAW vector through untouched (same name/type — Arrow
+    float32 round-trips are exact), for callers whose downstream
+    arithmetic must replay over the original values
+    (:func:`ivf_topk`'s exact rerank). The scan-stage expression twin
+    (:func:`_with_list_assignment`) remains the tool where the
+    assignment must stay JVM-side — writing ``list_id`` as a partition
+    column at ingest, and :func:`kmeans_refine`'s fixed-point partials
+    — but query-time probes don't need JVM-side assignment: the
+    interpreted O(k·d)-per-row higher-order folds cost ~14× this path
+    (measured r10: 7.27 s vs 0.49 s at sf0.1), and they also JIT-warm
+    over several runs — vectorized numpy is flat from call one (the
     ``_within_cluster_pairs`` lesson).
 
     Equivalence with the expression twin is pytest-pinned and EXACT
@@ -561,7 +582,10 @@ def _assign_lists_arrow(
     pinning is what makes the x59 semantic-dedup pair set hard-oracle
     replayable in DuckDB."""
     Cd = np.ascontiguousarray(C, dtype=np.float64)
-    schema = "id long, list_id int, unit array<double>"
+    if payload == "vec":
+        schema = f"id long, list_id int, `{vec_col}` {dict(df.dtypes)[vec_col]}"
+    else:
+        schema = "id long, list_id int, unit array<double>"
 
     def assign(batches):
         import pandas as pd
@@ -573,8 +597,10 @@ def _assign_lists_arrow(
             nrm = _fold_norms_np(M)
             U = M / np.where(nrm > 0, nrm, 1.0)[:, None]
             lists = np.argmax(_fold_dots_np(U, Cd), axis=1).astype(np.int32)
+            pay = pdf[vec_col] if payload == "vec" else list(U)
+            col = vec_col if payload == "vec" else "unit"
             yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "list_id": lists, "unit": list(U)}
+                {"id": pdf[id_col].to_numpy(), "list_id": lists, col: pay}
             )
 
     return df.select(id_col, vec_col).mapInPandas(assign, schema)
@@ -667,8 +693,9 @@ def semantic_dedup(
     immediately anyway, so a JVM-side assignment buys nothing here,
     and the interpreted O(k·d)-per-row folds were the slow,
     JIT-warm-in-sensitive path. The scan-expression twin
-    (`_with_list_assignment`) remains the IVF/probe tool, where
-    JVM-side small-int filters and partition pruning matter.
+    (`_with_list_assignment`) remains the ingest/partition-column
+    tool and `kmeans_refine`'s fixed-point source (since r10 the IVF
+    probe also rides the Arrow pass — see `ivf_topk`).
 
     Output: (vec_id, component, kept) — kept=1 iff the row is its
     component's representative; singleton vectors are their own

@@ -173,7 +173,13 @@ def profile_table(
     (column, n_rows, approx_distinct, p50, p95, top_value, top_count).
     Quantiles are null for categoricals; top_value/top_count null for
     numerics (heavy hitters on high-cardinality numerics are rarely
-    meaningful and would bloat reducer state)."""
+    meaningful and would bloat reducer state).
+
+    Quantile semantics (since the r9 HDR rewrite — ADVICE r9): p50/p95
+    are HDR *bin lower bounds* over cents, not actual data values as
+    ``percentile_approx`` returned — each is biased TOWARD ZERO by at
+    most 2⁻⁷ relative error (one 128th-of-an-octave bin width).
+    External callers must not assume data-valued quantiles."""
     if not numeric_cols and not categorical_cols:
         raise ValueError("profile_table: no columns to profile")
     profile = None

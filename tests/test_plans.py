@@ -388,3 +388,22 @@ def test_srp_ann_single_stage_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
     for node in ("InPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert node not in plan
+
+
+def test_ivf_probe_arrow_single_pass_no_shuffle(spark, sf_dir):
+    """The x18 IVF probe plan contract (r10: the probe-path assignment
+    swapped from the interpreted O(k·d)-per-row JVM fold to the
+    bit-equal Arrow numpy pass — 14× measured at sf0.1, VERDICT r9
+    #1). The shape that must survive: one column-pruned scan → exactly
+    ONE MapInPandas assignment stage → small-int ``list_id`` filter →
+    TakeOrderedAndProject rerank. No Exchange anywhere (the probe
+    never shuffles), no second Python stage, and the scan reads only
+    (vec_id, embedding) — Arrow stages block pushdown past them, so
+    the pre-stage select IS the pruning (the r5 mapInPandas lesson)."""
+    df = matrix.QUERIES["x18_sim_ivf"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in fmt

@@ -523,6 +523,27 @@ def test_oracle_builders_consistent_with_static_strings():
     ]
 
 
+def test_driver_sim_hard_fails_on_builder_failure(monkeypatch):
+    """VERDICT r9 #6: driver_sim must exit non-zero (not stderr-warn)
+    when any oracle_builder failed at import — otherwise a
+    missing-testdata downgrade produces a silently-green rows-only
+    sim. The symmetric pytest pin (above) covers test runs; this
+    covers the sim's own entry path."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import driver_sim
+
+    driver_sim.assert_oracles_built()  # clean state: no-op
+    monkeypatch.setattr(
+        driver_sim._m, "ORACLE_BUILD_FAILURES", {"x18_sim_ivf": "FileNotFoundError(...)"}
+    )
+    import pytest
+
+    with pytest.raises(SystemExit, match="x18_sim_ivf"):
+        driver_sim.assert_oracles_built()
+
+
 def test_shuffle_conf_parse_is_defensive(spark):
     """ADVICE r6: "0" / "-1" conf values must fall back to the default
     (repartition(n <= 0) raises), alongside the r4/r5 non-numeric and

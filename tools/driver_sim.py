@@ -21,7 +21,22 @@ from sql_engine_spark import matrix as _m
 from tests.oracle_harness import compare, run_oracle
 
 
+def assert_oracles_built() -> None:
+    """Fail LOUDLY (non-zero exit, not a stderr warn) if any
+    data-dependent oracle builder failed at import: a missing/corrupt
+    testdata dir silently downgrades those entries to rows-only checks,
+    and a sim that then prints all-PASS is a noop gate (VERDICT r9 #6 /
+    ADVICE r9). pytest pins the same invariant where tests run; this is
+    the guard for driver-style runs where they don't."""
+    if _m.ORACLE_BUILD_FAILURES:
+        raise SystemExit(
+            "driver_sim: oracle builder(s) failed at import — hard oracles "
+            f"degraded to rows-only checks: {_m.ORACLE_BUILD_FAILURES!r}"
+        )
+
+
 def main() -> None:
+    assert_oracles_built()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla, like the driver
