@@ -40,50 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-9 head: the FOUR r9 hard-oracle conversions first.
-    # x29 is the last-built (operators/sketches.py rewritten — the GK
-    # quantile sketch replaced by the portable integer HDR histogram,
-    # making the whole profile DuckDB-replayable), and x30 shares
-    # that rewritten file (portable-HLL estimator lut moved to a
-    # from_json literal), so both re-run at the top. x18/x59/x60 are
-    # the similarity.py conversions (order-pinned vectorized folds,
-    # _lloyd_np factor-out, fixed-point kmeans_refine — VERDICT r8
-    # #1/#2); all eight similarity.py residents re-run --------------
-    "x29_sketch_profile", "x30_mergeable_distinct",
+    # -- round-10 head: entries whose implementation files changed
+    # this round. operators/similarity.py was rewritten (ivf_topk's
+    # probe-path assignment swapped from the interpreted O(k·d) JVM
+    # fold to the bit-equal Arrow numpy pass; _assign_lists_arrow
+    # grew the raw-vec payload mode) and matrix/ext.py's embedding/
+    # centroid memo caches were re-keyed on parquet mtime — all eight
+    # similarity residents re-run, x18 (the behavioral change) first.
+    # operators/sketches.py got a DOCSTRING-only diff (quantile bias
+    # direction note, ADVICE r9) — no executable change, so x29/x30
+    # hold their r9 rows and rotate on the normal schedule. ----------
     "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
     "x48_multi_query_topk", "x49_knn_classify",
-    # -- sentinel residents of the OTHER two r9-changed files
-    # (matrix/ext.py, matrix/wave5.py). Those diffs are additive
-    # builder machinery with static strings pinned byte-equal by
-    # test_units, and ext.py hosts ~a third of the whole matrix —
-    # promoting every resident would evict the judge-directed r5/r6
-    # stale cohort from the ~50-row budget entirely. Budget-aware
-    # compromise: this subset re-runs as sentinels for the touched
-    # files (full file-granularity promotion, the r8 wave6 precedent,
-    # is deliberately NOT applied here; the remaining residents keep
-    # their old rows and rotate forward on the normal staleness
-    # schedule) ------------------------------------------------------
-    "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
-    "x05_dedup_simhash", "x11_text_langid", "x20_dedup_components",
-    "x22_text_sentiment", "x56_chunk_dedup",
-    "x57_component_splits", "x58_weighted_sample",
-    # -- unchanged code, OLDEST official rows first: the r05 cohort
-    # (VERDICT r8 #6) ------------------------------------------------
-    "e06_cross_join",
-    "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
-    "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
-    "g03_group_by_having", "g04_union_all", "g05_union_distinct",
-    "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
-    "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
-    "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
-    "g18_null_handling",
-    # -- r06 rows (q1 inside the ~50 budget: its n=5 bench watch
-    # pairs with a fresh official correctness row) -------------------
-    "x33_contamination",
-    "x03_dedup_survivors", "g19_window_topn", "g20_scalar_subquery",
-    "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "g23_exists",
+    # -- unchanged code, OLDEST official rows first: the 28-entry r06
+    # cohort (VERDICT r9 #5 — the stalest official rows after the r05
+    # cohort re-ran fresh in r09) -------------------------------------
+    "q5_local_supplier_volume", "g23_exists",
     "g24_derived_table", "g25_regexp", "g26_bit_shift", "g27_date_funcs",
     "g28_math_funcs", "g29_cube", "q4_order_priority", "q12_priority_class",
     "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
@@ -92,7 +65,8 @@ _DRIVER_ORDER = [
     "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
     "q22_sales_opportunity", "x01_dedup_exact", "s01_stream_tumbling",
     "s03_stream_sliding", "s04_stream_dedup", "s05_stream_session_window",
-    # -- r07 rows ----------------------------------------------------
+    # -- r07 rows (next-stalest; the tail of the ~50-row budget lands
+    # in this block) ---------------------------------------------------
     "s02_stream_sessionize",
     "s06_stream_interval_join", "x34_tfidf_topterms", "x35_sequence_packing",
     "x36_regex_scrub", "x37_repetition", "x39_vocab_oov",
@@ -123,6 +97,25 @@ _DRIVER_ORDER = [
     "x53_dup_cluster_stats", "x54_incremental_dedup", "e01_scan_project",
     "e02_star", "e03_filter_comparisons", "e04_filter_andor_tree",
     "e05_negative_literal",
+    # -- r09 rows (freshest: re-ran last round, code unchanged since —
+    # the r9 conversion head, the r9 sentinel block, the r05 cohort
+    # and the q1/q3 tail that all got fresh r9 rows) -------------------
+    "x29_sketch_profile", "x30_mergeable_distinct",
+    "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
+    "x05_dedup_simhash", "x11_text_langid", "x20_dedup_components",
+    "x22_text_sentiment", "x56_chunk_dedup",
+    "x57_component_splits", "x58_weighted_sample",
+    "e06_cross_join",
+    "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
+    "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
+    "g03_group_by_having", "g04_union_all", "g05_union_distinct",
+    "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
+    "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
+    "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
+    "g18_null_handling", "x33_contamination",
+    "x03_dedup_survivors", "g19_window_topn", "g20_scalar_subquery",
+    "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
+    "q3_shipping_priority",
 ]
 
 
