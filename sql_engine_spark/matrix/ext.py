@@ -243,7 +243,10 @@ def _trained_centroids_at(sf_dir: str, _mtime: float, n_lists: int, seed: int):
     (:func:`_lloyd_np` rebinds, never mutates)."""
     from sql_engine_spark.operators.similarity import IVF_TRAIN_MAX, _lloyd_np
 
-    _ids, X = _load_embeddings_np(sf_dir)
+    # Reuse the mtime ALREADY stat'ed by the wrapper: re-stat'ing here
+    # could cache centroids trained on a just-regenerated file under
+    # the pre-regeneration key (review r10).
+    _ids, X = _load_embeddings_np_at(sf_dir, _mtime)
     return _lloyd_np(X[:IVF_TRAIN_MAX], n_lists=n_lists, seed=seed)
 
 

@@ -276,8 +276,14 @@ def ivf_topk(
     TakeOrderedAndProject; no Exchange (pinned in tests/test_plans).
     """
     C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
-    assigned = _assign_lists_arrow(df, C, id_col, vec_col, payload="vec")
     probe = ivf_probe_order(C, query_vec, n_probe)
+    # keep_lists prunes non-probed rows INSIDE the Arrow stage (their
+    # vector payloads never cross back to the JVM — ~(1 − n_probe/
+    # n_lists) of the corpus); the isin filter remains the idempotent
+    # JVM-side contract.
+    assigned = _assign_lists_arrow(
+        df, C, id_col, vec_col, payload="vec", keep_lists=probe
+    )
     cands = assigned.filter(F.col("list_id").isin(*probe)).select(
         F.col("id").alias(id_col), vec_col
     )
@@ -301,7 +307,12 @@ def _train_spherical_quantizer(
     corpus access during training). Centroids are re-normalized each
     round, so nearest-centroid == cosine argmax. Returns (n_lists, d)."""
     rows = (
-        df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+        # NULL vectors carry no training signal and would crash the
+        # numpy matrix build — the sample is the first train_max
+        # NON-NULL ids (testdata has no nulls, so the oracle builders'
+        # DuckDB read of the same ids is unaffected).
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
         .orderBy("id")
         .limit(train_max)
         .collect()
@@ -554,7 +565,12 @@ def _fold_dots_np(A: "np.ndarray", B: "np.ndarray") -> np.ndarray:
 
 
 def _assign_lists_arrow(
-    df: DataFrame, C: "np.ndarray", id_col: str, vec_col: str, payload: str = "unit"
+    df: DataFrame,
+    C: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+    payload: str = "unit",
+    keep_lists: "list[int] | None" = None,
 ) -> DataFrame:
     """(id, list_id, payload) cluster assignment as ONE Arrow
     ``mapInPandas`` pass: normalize and argmax the centroid dots with
@@ -581,11 +597,14 @@ def _assign_lists_arrow(
     max), so the old near-tie margin skip is gone — and the same
     pinning is what makes the x59 semantic-dedup pair set hard-oracle
     replayable in DuckDB."""
+    if payload not in ("unit", "vec"):
+        raise ValueError(f"payload must be 'unit' or 'vec', got {payload!r}")
     Cd = np.ascontiguousarray(C, dtype=np.float64)
     if payload == "vec":
         schema = f"id long, list_id int, `{vec_col}` {dict(df.dtypes)[vec_col]}"
     else:
         schema = "id long, list_id int, unit array<double>"
+    keep = None if keep_lists is None else np.asarray(sorted(keep_lists), dtype=np.int32)
 
     def assign(batches):
         import pandas as pd
@@ -597,13 +616,30 @@ def _assign_lists_arrow(
             nrm = _fold_norms_np(M)
             U = M / np.where(nrm > 0, nrm, 1.0)[:, None]
             lists = np.argmax(_fold_dots_np(U, Cd), axis=1).astype(np.int32)
+            if keep is not None:
+                # Prune NON-probed rows before they cross Arrow back to
+                # the JVM (review r10): with n_probe/n_lists = 4/16,
+                # ~75% of the corpus (each row a full vector payload)
+                # would be serialized only to die in the isin filter one
+                # node later. Same rows survive either way — the JVM
+                # filter stays as the idempotent contract.
+                mask = np.isin(lists, keep)
+                pdf, lists, U = pdf[mask], lists[mask], U[mask]
+                if not len(pdf):
+                    continue
             pay = pdf[vec_col] if payload == "vec" else list(U)
             col = vec_col if payload == "vec" else "unit"
             yield pd.DataFrame(
                 {"id": pdf[id_col].to_numpy(), "list_id": lists, col: pay}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+    # NULL embeddings: the pre-swap JVM expressions produced a NULL
+    # list_id that the probe filter dropped; np.vstack would instead
+    # crash the whole query on a dirty corpus (review r10). The same
+    # graceful-exclusion semantics, as a scan-stage filter.
+    return df.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    ).mapInPandas(assign, schema)
 
 
 def _within_cluster_pairs(

@@ -288,6 +288,22 @@ def test_ivf_recall_vs_brute(emb):
     assert ivf_all == brute
 
 
+def test_ivf_tolerates_null_embeddings(spark, emb):
+    """Dirty-corpus invariant (review r10): a NULL embedding row must be
+    EXCLUDED, not crash the Arrow assignment — the pre-swap JVM
+    expressions produced a NULL list_id the probe filter dropped, and
+    the Arrow path must keep those graceful-exclusion semantics
+    (np.vstack over a None would otherwise raise)."""
+    null_row = spark.createDataFrame(
+        [(999_999, None)], "vec_id long, embedding array<float>"
+    )
+    dirty = emb.select("vec_id", "embedding").unionByName(null_row)
+    qv = S.get_vector(emb, 0)
+    clean = [r.vec_id for r in S.ivf_topk(emb, qv, k=10, exclude_id=0).collect()]
+    got = [r.vec_id for r in S.ivf_topk(dirty, qv, k=10, exclude_id=0).collect()]
+    assert got == clean
+
+
 def test_shingle_index_memoized_and_clearable(spark, sf_dir):
     from sql_engine_spark.catalog import load_table
     from sql_engine_spark.operators import dedup as D

@@ -529,9 +529,11 @@ def test_driver_sim_hard_fails_on_builder_failure(monkeypatch):
     missing-testdata downgrade produces a silently-green rows-only
     sim. The symmetric pytest pin (above) covers test runs; this
     covers the sim's own entry path."""
-    import sys as _sys
+    import os as _os
 
-    _sys.path.insert(0, "/root/repo/tools")
+    monkeypatch.syspath_prepend(
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools")
+    )
     import driver_sim
 
     driver_sim.assert_oracles_built()  # clean state: no-op
