@@ -580,11 +580,14 @@ def _assign_lists_arrow(
     passes the RAW vector through untouched (same name/type — Arrow
     float32 round-trips are exact), for callers whose downstream
     arithmetic must replay over the original values
-    (:func:`ivf_topk`'s exact rerank). The scan-stage expression twin
+    (:func:`ivf_topk`'s exact rerank); ``payload="maxdot"`` emits the
+    winning centroid dot itself (:func:`kmeans_refine`'s tightness
+    report). The scan-stage expression twin
     (:func:`_with_list_assignment`) remains the tool where the
     assignment must stay JVM-side — writing ``list_id`` as a partition
-    column at ingest, and :func:`kmeans_refine`'s fixed-point partials
-    — but query-time probes don't need JVM-side assignment: the
+    column at ingest — and the pinned reference this pass is
+    bit-checked against; query-time paths don't need JVM-side
+    assignment: the
     interpreted O(k·d)-per-row higher-order folds cost ~14× this path
     (measured r10: 7.27 s vs 0.49 s at sf0.1), and they also JIT-warm
     over several runs — vectorized numpy is flat from call one (the
@@ -597,11 +600,17 @@ def _assign_lists_arrow(
     max), so the old near-tie margin skip is gone — and the same
     pinning is what makes the x59 semantic-dedup pair set hard-oracle
     replayable in DuckDB."""
-    if payload not in ("unit", "vec"):
-        raise ValueError(f"payload must be 'unit' or 'vec', got {payload!r}")
+    if payload not in ("unit", "vec", "maxdot"):
+        raise ValueError(f"payload must be 'unit', 'vec' or 'maxdot', got {payload!r}")
     Cd = np.ascontiguousarray(C, dtype=np.float64)
     if payload == "vec":
         schema = f"id long, list_id int, `{vec_col}` {dict(df.dtypes)[vec_col]}"
+    elif payload == "maxdot":
+        # the winning centroid dot itself (== cosine to OWN centroid on
+        # the unit sphere) — bit-equal to array_max(__dots) of the JVM
+        # twin because _fold_dots_np reproduces the fold lane-for-lane
+        # and both argmaxes take the FIRST max (kmeans_refine's report)
+        schema = "id long, list_id int, maxdot double"
     else:
         schema = "id long, list_id int, unit array<double>"
     keep = None if keep_lists is None else np.asarray(sorted(keep_lists), dtype=np.int32)
@@ -615,7 +624,8 @@ def _assign_lists_arrow(
             M = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
             nrm = _fold_norms_np(M)
             U = M / np.where(nrm > 0, nrm, 1.0)[:, None]
-            lists = np.argmax(_fold_dots_np(U, Cd), axis=1).astype(np.int32)
+            D = _fold_dots_np(U, Cd)
+            lists = np.argmax(D, axis=1).astype(np.int32)
             if keep is not None:
                 # Prune NON-probed rows before they cross Arrow back to
                 # the JVM (review r10): with n_probe/n_lists = 4/16,
@@ -624,11 +634,15 @@ def _assign_lists_arrow(
                 # node later. Same rows survive either way — the JVM
                 # filter stays as the idempotent contract.
                 mask = np.isin(lists, keep)
-                pdf, lists, U = pdf[mask], lists[mask], U[mask]
+                pdf, lists, U, D = pdf[mask], lists[mask], U[mask], D[mask]
                 if not len(pdf):
                     continue
-            pay = pdf[vec_col] if payload == "vec" else list(U)
-            col = vec_col if payload == "vec" else "unit"
+            if payload == "vec":
+                col, pay = vec_col, pdf[vec_col]
+            elif payload == "maxdot":
+                col, pay = "maxdot", D[np.arange(len(lists)), lists]
+            else:
+                col, pay = "unit", list(U)
             yield pd.DataFrame(
                 {"id": pdf[id_col].to_numpy(), "list_id": lists, col: pay}
             )
@@ -777,8 +791,9 @@ def kmeans_refine(
     step FAISS calls when the driver-side training sample stops being
     representative: seed centroids from `_train_spherical_quantizer`'s
     bounded sample, then run ``iterations`` rounds where each round is
-    ONE corpus scan (nearest-centroid assignment as a scan expression)
-    feeding a per-(cluster, dim) mean. The posexplode multiplies rows
+    ONE corpus scan (nearest-centroid assignment as the Arrow numpy
+    pass — bit-equal to the JVM expression twin, r10) feeding a
+    per-(cluster, dim) mean. The posexplode multiplies rows
     ×d, but hash aggregation collapses them map-side to at most
     k·d partial cells per task before the shuffle — the only wide
     traffic is k·d·partitions tiny doubles, never vectors. The k·d
@@ -807,9 +822,14 @@ def kmeans_refine(
     C = _train_spherical_quantizer(df, id_col, vec_col, n_lists, seed)
     k = len(C)
     for _ in range(iterations):
-        assigned = _with_list_assignment(df, C, vec_col)
+        # Arrow assignment (r10, the x18 adjudication applied): each of
+        # the iterations+1 corpus scans paid the interpreted O(k·d)
+        # fold ×~3 expression copies; the numpy pass is bit-equal
+        # (order-pinned folds), so the micro-unit partials — and
+        # therefore every iteration's centroids — are unchanged.
+        assigned = _assign_lists_arrow(df, C, id_col, vec_col)
         cells = (
-            assigned.select("list_id", F.posexplode("__unit").alias("dim", "x"))
+            assigned.select("list_id", F.posexplode("unit").alias("dim", "x"))
             .groupBy("list_id", "dim")
             .agg(
                 F.sum(F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long")).alias("s"),
@@ -829,11 +849,11 @@ def kmeans_refine(
                 newC[j] = (newC[j] / 1000000.0) / counts[j]
         nn = np.linalg.norm(newC, axis=1)
         C = newC / np.where(nn > 0, nn, 1.0)[:, None]
-    final = _with_list_assignment(df, C, vec_col)
+    final = _assign_lists_arrow(df, C, id_col, vec_col, payload="maxdot")
     # cosine to OWN centroid is by definition the max centroid dot —
-    # already computed in __dots; re-deriving it would embed the k×d
-    # literal twice and re-run the interpreted O(d) fold per row.
-    qcos = F.floor(F.array_max("__dots") * 1000000.0 + F.lit(0.5)).cast("long")
+    # the Arrow pass emits it directly (bit-equal to the JVM twin's
+    # array_max(__dots); see the payload="maxdot" note).
+    qcos = F.floor(F.col("maxdot") * 1000000.0 + F.lit(0.5)).cast("long")
     return (
         final.withColumn("__qc", qcos)
         .groupBy("list_id")
