@@ -293,6 +293,58 @@ def test_arrow_assignment_equals_expression_twin(emb):
         assert np.array_equal(arrow[i][1], expr[i][1]), f"unit bits differ at {i}"
 
 
+def test_arrow_payload_modes_equal_expression_twin(emb):
+    """Direct pin for the r10 payload modes of `_assign_lists_arrow`
+    against the JVM twin (the x18/x60 hash-green sims are the implicit
+    evidence; this is the unit-level one): ``payload="maxdot"`` must be
+    bit-equal to ``array_max(__dots)`` (kmeans_refine's tightness
+    source — both argmaxes take the FIRST max), ``payload="vec"`` must
+    pass the raw float32 vector through Arrow byte-identically
+    (ivf_topk's exact-rerank input), and ``keep_lists`` must drop
+    exactly the rows whose list_id falls outside the probe set (the
+    x18 Arrow-traffic cut) while never changing surviving rows."""
+    C = S._train_spherical_quantizer(emb, "vec_id", "embedding", 8, S.ANN_SEED)
+    expr = {
+        r["vec_id"]: (r["list_id"], r["__maxdot"], r["embedding"])
+        for r in S._with_list_assignment(emb, C, "embedding")
+        .select(
+            "vec_id", "list_id", F.array_max("__dots").alias("__maxdot"), "embedding"
+        )
+        .collect()
+    }
+    md = {
+        r.id: (r.list_id, r.maxdot)
+        for r in S._assign_lists_arrow(
+            emb, C, "vec_id", "embedding", payload="maxdot"
+        ).collect()
+    }
+    assert set(md) == set(expr)
+    for i, (lid, dot) in md.items():
+        assert lid == expr[i][0], f"list_id mismatch at {i}"
+        assert dot == expr[i][1], f"maxdot bits differ at {i}"
+    vec = {
+        r.id: (r.list_id, r.embedding)
+        for r in S._assign_lists_arrow(
+            emb, C, "vec_id", "embedding", payload="vec"
+        ).collect()
+    }
+    for i, (lid, v) in vec.items():
+        assert lid == expr[i][0]
+        assert v == expr[i][2], f"raw vec changed through Arrow at {i}"
+    keep = [0, 3, 5]
+    pruned = {
+        r.id: (r.list_id, r.embedding)
+        for r in S._assign_lists_arrow(
+            emb, C, "vec_id", "embedding", payload="vec", keep_lists=keep
+        ).collect()
+    }
+    assert pruned == {
+        i: (lid, v) for i, (lid, _, v) in expr.items() if lid in set(keep)
+    }
+    with pytest.raises(ValueError, match="payload"):
+        S._assign_lists_arrow(emb, C, "vec_id", "embedding", payload="nope")
+
+
 # --- x60 k-means refinement ------------------------------------------
 
 
