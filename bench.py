@@ -93,10 +93,14 @@ RUNS_OVERRIDE = {
     "q1_pricing_summary": 5,  # VERDICT r8 #3: drifted to 0.736 [0.599,0.851] on untouched code (r7 0.443) — n=5 certifies drift vs regression
     "q18_large_orders": 5,  # VERDICT r7 #4: most spread-prone flagship ([0.897,1.309] at n=3) — n=5 settles noise vs regression
     "x06_sim_topk_brute": 5,  # VERDICT r9 #3: 1.70× n=3 spread in the driver run — n=5
+    "x12_text_fingerprint": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.24× on untouched code) — n=5 standing bracket
+    "x14_sessionize_batch": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.34× on untouched code) — n=5 standing bracket
     "x18_sim_ivf": 5,  # VERDICT r9 #1: first standing bracket for the (now Arrow) IVF probe — n=5
     "x29_sketch_profile": 5,
     "x32_multimodal_decode": 5,  # VERDICT r7 #2: first longitudinal record of the Arrow decode path — n=5 for a solid first bracket
     "x33_contamination": 5,
+    "x34_tfidf_topterms": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.33× on untouched code) — n=5 standing bracket
+    "x35_sequence_packing": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.42× on untouched code) — n=5 standing bracket
     "x38_containment": 5,
     "x43_bigram_rarity": 5,  # VERDICT r9 #3: 1.42× n=3 spread in the driver run — n=5
     "x56_chunk_dedup": 5,  # VERDICT r5 #5: 0.46→0.80 s driver drift on untouched code — n=5 decides noise vs real
@@ -482,6 +486,14 @@ def main() -> None:
         "canary": canary,
         "canary_all_passes": canaries,
         "canary_rerun": len(canaries) > 1,
+        # VERDICT r10 #3: a dirty run must SAY so in the record itself.
+        # BENCH_r10 shipped at canary 1.5 (both passes contended, the
+        # cleaner one shipped) with no machine-readable marker, and its
+        # five 1.24–1.42× upticks on untouched code read as regressions
+        # until adjudicated against the certified detail. certified ==
+        # "the shipped pass's canary spread is within the clean line" —
+        # per-query targets are only evaluated on certified runs.
+        "certified": canary["spread"] <= CANARY_CLEAN,
         "recall": recall,
         "scale_probe": scale_probe,
     }
@@ -497,10 +509,11 @@ def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None
     BENCH_r02 was lost ("parsed": null) because the one JSON line
     outgrew the driver's tail capture. The contract line carries ONLY
     metric/value/unit/queries/sf plus the one-float contention
-    "canary_spread" (VERDICT r5 #1: readers must be able to tell a
-    clean run from a contention-poisoned one from the official record
-    itself — ≤ 1.3 means clean; per-query targets are not evaluated
-    on a flagged run).
+    "canary_spread" and its boolean verdict "certified" (VERDICT r5
+    #1 + r10 #3: readers must be able to tell a clean run from a
+    contention-poisoned one from the official record itself, without
+    knowing the clean line's current value; per-query targets are not
+    evaluated on an uncertified run).
     """
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -518,6 +531,10 @@ def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None
     }
     if canary_spread is not None:
         payload["canary_spread"] = canary_spread
+        # One bool a reader can trust without knowing the clean line's
+        # current value (it moved 1.3→1.2 in r10): False = contended
+        # window, do NOT read per-query deltas as regressions.
+        payload["certified"] = canary_spread <= CANARY_CLEAN
     line = json.dumps(payload)
     print(line, flush=True)
     return line

@@ -335,8 +335,14 @@ def test_bench_contract_line_is_compact(tmp_path, capsys, monkeypatch):
     detail = {"spread": {n: [1.0, 2.0] for n in timings}, "recall": {"x": 1}}
     line = bench.emit(timings, 0.1, detail, canary_spread=1.08)
     parsed = json.loads(line)
-    assert set(parsed) == {"metric", "value", "unit", "queries", "sf", "canary_spread"}
+    assert set(parsed) == {
+        "metric", "value", "unit", "queries", "sf", "canary_spread", "certified",
+    }
     assert parsed["canary_spread"] == 1.08
+    # VERDICT r10 #3: the contract line itself says whether per-query
+    # targets may be evaluated on this run (canary within the clean
+    # line) — a contended window can never again be silently shipped.
+    assert parsed["certified"] is True
     assert parsed["unit"] == "sec"
     assert parsed["queries"] == timings
     assert parsed["value"] == round(sum(timings.values()), 3)
@@ -346,6 +352,9 @@ def test_bench_contract_line_is_compact(tmp_path, capsys, monkeypatch):
     assert out_lines[-1] == line
     # sidecar holds the detail verbatim.
     assert json.loads(detail_file.read_text())["recall"] == {"x": 1}
+    # An over-the-line canary flips the verdict (VERDICT r10 #3).
+    dirty = json.loads(bench.emit(timings, 0.1, detail, canary_spread=1.5))
+    assert dirty["certified"] is False
 
 
 def test_rows_only_harness_action_is_noop_write():

@@ -328,6 +328,10 @@ def test_arrow_payload_modes_equal_expression_twin(emb):
             emb, C, "vec_id", "embedding", payload="vec"
         ).collect()
     }
+    # Row-set equality BEFORE the per-row loop (ADVICE r10): without
+    # it, a regression that silently dropped rows in vec mode would
+    # pass vacuously — the maxdot block above already pins its set.
+    assert set(vec) == set(expr)
     for i, (lid, v) in vec.items():
         assert lid == expr[i][0]
         assert v == expr[i][2], f"raw vec changed through Arrow at {i}"
