@@ -290,6 +290,64 @@ def ivf_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def ivf_ingest(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = ANN_SEED,
+    train_max: "int | None" = None,
+    sample_order: str = "id",
+) -> "np.ndarray":
+    """The at-scale IVF ingest: train the coarse quantizer, assign
+    every vector JVM-side (:func:`_with_list_assignment` — zero Python
+    workers in the write job), and persist partitioned by ``list_id``
+    so probes prune whole directories via partition pruning instead of
+    doing ANY per-row assignment work at query time (SCALE.md, the
+    stated reason the JVM twin exists). Returns the centroids — the
+    only state a probe needs besides the path. One corpus scan, one
+    partitioned write; at 100 TB this is the one-time indexing job."""
+    C = _train_spherical_quantizer(
+        df, id_col, vec_col, n_lists, seed,
+        train_max=train_max or IVF_TRAIN_MAX, sample_order=sample_order,
+    )
+    (
+        _with_list_assignment(df.filter(F.col(vec_col).isNotNull()), C, vec_col)
+        .select(id_col, vec_col, "list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return C
+
+
+def ivf_topk_prepartitioned(
+    spark,
+    path: str,
+    C: "np.ndarray",
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe an :func:`ivf_ingest` index: the ``list_id isin(probe)``
+    filter lands as ``PartitionFilters`` on the scan (list_id is a
+    partition COLUMN), so only n_probe/n_lists of the files are ever
+    opened — no assignment expressions, no Python stage, nothing but a
+    pruned scan feeding the exact rerank's TakeOrderedAndProject.
+    Plan-pinned in tests/test_plans.py (VERDICT r10 #1). Results match
+    :func:`ivf_topk` exactly: same quantizer, same probe order, same
+    rerank over the same raw vectors."""
+    probe = ivf_probe_order(C, query_vec, n_probe)
+    cands = spark.read.parquet(path).filter(F.col("list_id").isin(*probe))
+    return cosine_topk(
+        cands.select(id_col, vec_col), query_vec, k, id_col, vec_col, exclude_id
+    )
+
+
 IVF_TRAIN_MAX = 65_536
 
 
@@ -301,22 +359,40 @@ def _train_spherical_quantizer(
     seed: int,
     train_max: int = IVF_TRAIN_MAX,
     max_iter: int = 25,
+    sample_order: str = "id",
 ) -> np.ndarray:
     """Seeded Lloyd's spherical k-means on a deterministic bounded
-    sample (first ``train_max`` ids — a TakeOrdered fetch, the only
-    corpus access during training). Centroids are re-normalized each
-    round, so nearest-centroid == cosine argmax. Returns (n_lists, d)."""
-    rows = (
+    sample (a TakeOrdered fetch — the only corpus access during
+    training). Centroids are re-normalized each round, so
+    nearest-centroid == cosine argmax. Returns (n_lists, d).
+
+    ``sample_order`` picks the deterministic sample (VERDICT r10 #2):
+    ``"id"`` (default) takes the first ``train_max`` ids — fine when
+    ids carry no source/time structure (the driver corpus; SCALE.md
+    adjudicates this), but at 100 TB low ids plausibly correlate with
+    one source or time slice → unrepresentative centroids → skewed
+    lists → probe recall collapse. ``"hash"`` orders by
+    ``md5(cast(id as string))`` instead — a seeded-shuffle-quality
+    sample at the same TakeOrdered cost, replayable bit-exactly in
+    DuckDB (``ORDER BY md5(CAST(id AS VARCHAR))`` — both engines emit
+    lowercase hex, so the string order agrees). List-size balance
+    under both orders is pinned in tests/test_wave5.py."""
+    if sample_order not in ("id", "hash"):
+        raise ValueError(f"sample_order must be 'id' or 'hash', got {sample_order!r}")
+    base = (
         # NULL vectors carry no training signal and would crash the
         # numpy matrix build — the sample is the first train_max
         # NON-NULL ids (testdata has no nulls, so the oracle builders'
         # DuckDB read of the same ids is unaffected).
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(train_max)
-        .collect()
     )
+    order = (
+        [F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()]
+        if sample_order == "hash"
+        else [F.col("id").asc()]
+    )
+    rows = base.orderBy(*order).limit(train_max).collect()
     X = np.asarray([r.v for r in rows], dtype=np.float64)
     return _lloyd_np(X, n_lists, seed, max_iter)
 

@@ -407,3 +407,48 @@ def test_ivf_probe_arrow_single_pass_no_shuffle(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
     fmt = _formatted(df)
     assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in fmt
+
+
+def test_ivf_prepartitioned_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """The at-scale IVF ingest claim, exercised end-to-end (VERDICT
+    r10 #1 — previously the one 100 TB design claim with no test):
+    ``ivf_ingest`` writes the corpus partitioned by ``list_id`` via
+    the JVM expression twin (`_with_list_assignment`), and the
+    ``ivf_topk_prepartitioned`` probe against that index must prune
+    whole partition directories — ``PartitionFilters: [... list_id
+    IN (…)]`` on the scan — with ZERO per-row assignment work at
+    query time: no Python stage of any kind, no centroid-literal
+    expressions (`from_json` is the assignment signature), no
+    Exchange, and the rerank lowers to TakeOrderedAndProject. The
+    probe must also return exactly what the inline ``ivf_topk``
+    returns for the same quantizer/probe/rerank (SCALE.md cites this
+    test as the survival argument for the JVM twin)."""
+    from sql_engine_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    C = S.ivf_ingest(emb, path, n_lists=8)
+    qv = S.get_vector(emb, 0)
+    df = S.ivf_topk_prepartitioned(
+        spark, path, C, qv, k=10, n_probe=2, exclude_id=0
+    )
+    fmt = _formatted(df)
+    pf = [ln for ln in fmt.splitlines() if "PartitionFilters" in ln]
+    assert pf, fmt
+    assert "list_id" in pf[0] and " IN (" in pf[0], pf[0]
+    # list_id is a partition column — the row-group scan reads ONLY
+    # (vec_id, embedding); no assignment expressions anywhere.
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in fmt
+    assert "from_json" not in fmt
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    for node in ("InPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+    # Same results as the inline probe: one quantizer, one probe
+    # order, one rerank — the index is a layout change, not a
+    # semantics change.
+    inline = S.ivf_topk(
+        emb, qv, k=10, n_lists=8, n_probe=2, exclude_id=0
+    ).collect()
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in inline]

@@ -392,3 +392,97 @@ def test_kmeans_refine_improves_tightness(emb):
         return sum(r.mean_cos * r.n_vectors for r in rows) / tot
 
     assert overall(r4) >= overall(r0) - 1e-9
+
+
+# --- quantizer training-sample guards (VERDICT r10 #2) ---------------
+
+
+def _list_sizes(emb_df, C):
+    rows = (
+        S._assign_lists_arrow(emb_df, C, "vec_id", "embedding")
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    return [r["count"] for r in rows]
+
+
+@pytest.mark.parametrize("sample_order", ["id", "hash"])
+def test_quantizer_lists_balanced(spark, emb, sample_order):
+    """List-size skew guard: a quantizer trained on either
+    deterministic sample (first-N ids, or the hash-ordered shuffle-
+    quality sample) must yield BALANCED inverted lists on both the
+    isotropic corpus and the planted-near-dup corpus — max list ≤ 2×
+    mean (measured ~1.15× on both). This is the tripwire for the
+    100 TB failure mode SCALE.md adjudicates (unrepresentative
+    training sample → degenerate centroids → skewed lists → probe
+    recall collapse): if a future corpus or training change breaks
+    balance, this fails before the recall numbers quietly rot."""
+    n = emb.count()
+    C = S._train_spherical_quantizer(
+        emb, "vec_id", "embedding", 8, S.ANN_SEED, sample_order=sample_order
+    )
+    sizes = _list_sizes(emb, C)
+    assert len(sizes) == 8, "degenerate quantizer: empty inverted lists"
+    assert max(sizes) <= 2.0 * (n / 8), sizes
+
+    # Planted corpus (bench's _planted_recall regime): 10 near-dups of
+    # one base vector unioned in — the near-dup-mining workload must
+    # not tip a list over the bound either.
+    qv = S.get_vector(emb, 0)
+    q = np.asarray(qv, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(10):
+        g = rng.standard_normal(len(q))
+        u = g - (g @ q) * q
+        u = u / np.linalg.norm(u)
+        v = 0.97 * q + np.sqrt(1.0 - 0.97**2) * u
+        rows.append((-(i + 1), [float(x) for x in v]))
+    planted = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    Cp = S._train_spherical_quantizer(
+        planted, "vec_id", "embedding", 8, S.ANN_SEED, sample_order=sample_order
+    )
+    psizes = _list_sizes(planted, Cp)
+    assert max(psizes) <= 2.0 * ((n + 10) / 8), psizes
+
+
+def test_quantizer_hash_sample_is_duckdb_replayable(spark, emb, sf_dir):
+    """The ``sample_order="hash"`` option must be (a) a genuinely
+    different, id-range-spanning sample — the point is breaking the
+    low-ids-correlate-with-one-source failure mode — and (b) bit-
+    replayable in DuckDB (``ORDER BY md5(CAST(id AS VARCHAR))``), so
+    an oracle builder could retrain from the SAME rows exactly as the
+    x18/x59/x60 builders do for the id-order default today. Both
+    engines emit lowercase hex md5 over the same decimal string, so
+    the lexicographic order agrees row-for-row."""
+    import duckdb
+
+    n_sample = 32
+    spark_ids = [
+        r.id
+        for r in emb.select(F.col("vec_id").alias("id"))
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(n_sample)
+        .collect()
+    ]
+    duck_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet') "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+            f"LIMIT {n_sample}"
+        ).fetchall()
+    ]
+    assert spark_ids == duck_ids
+    # Not the first-N-ids sample, and spans well past the first N.
+    assert spark_ids != sorted(spark_ids)[:n_sample] or max(spark_ids) >= n_sample
+    assert max(spark_ids) > 4 * n_sample
+
+    with pytest.raises(ValueError, match="sample_order"):
+        S._train_spherical_quantizer(
+            emb, "vec_id", "embedding", 8, S.ANN_SEED, sample_order="random"
+        )
