@@ -40,53 +40,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-10 head: entries whose implementation files changed
-    # this round. operators/similarity.py was rewritten (ivf_topk's
-    # probe-path assignment swapped from the interpreted O(k·d) JVM
-    # fold to the bit-equal Arrow numpy pass; _assign_lists_arrow
-    # grew the raw-vec payload mode) and matrix/ext.py's embedding/
-    # centroid memo caches were re-keyed on parquet mtime — all eight
-    # similarity residents re-run, x18 (the behavioral change) first.
-    # operators/sketches.py got a DOCSTRING-only diff (quantile bias
-    # direction note, ADVICE r9) — no executable change, so x29/x30
-    # hold their r9 rows and rotate on the normal schedule. ----------
+    # -- round-11 head: entries whose implementation file changed this
+    # round. operators/similarity.py grew ivf_ingest /
+    # ivf_topk_prepartitioned (the at-scale partition-prune path,
+    # VERDICT r10 #1) and _train_spherical_quantizer's
+    # sample_order="hash" option (VERDICT r10 #2); default behavior is
+    # untouched (new functions + a defaulted kwarg), but policy is
+    # file-level: all eight similarity residents re-run, x18 first. --
     "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
     "x48_multi_query_topk", "x49_knn_classify",
-    # -- unchanged code, OLDEST official rows first: the 28-entry r06
-    # cohort (VERDICT r9 #5 — the stalest official rows after the r05
-    # cohort re-ran fresh in r09) -------------------------------------
-    "q5_local_supplier_volume", "g23_exists",
-    "g24_derived_table", "g25_regexp", "g26_bit_shift", "g27_date_funcs",
-    "g28_math_funcs", "g29_cube", "q4_order_priority", "q12_priority_class",
-    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
-    "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
-    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
-    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
-    "q22_sales_opportunity", "x01_dedup_exact", "s01_stream_tumbling",
-    "s03_stream_sliding", "s04_stream_dedup", "s05_stream_session_window",
-    # -- r07 rows (next-stalest; the tail of the ~50-row budget lands
-    # in this block) ---------------------------------------------------
-    "s02_stream_sessionize",
-    "s06_stream_interval_join", "x34_tfidf_topterms", "x35_sequence_packing",
-    "x36_regex_scrub", "x37_repetition", "x39_vocab_oov",
-    "x40_curation_pipeline", "x41_domain_mix", "x42_length_histogram",
-    "x43_bigram_rarity", "x45_split_assignment", "s07_stream_static_enrich",
-    "x09_text_token_stats", "x10_text_quality",
-    "x12_text_fingerprint", "x13_events_json", "x14_sessionize_batch",
-    "x15_window_tumbling_batch", "x17_text_bpe_tokens", "x21_salted_agg",
-    "x38_containment", "x44_cross_source_dups",
-    "x51_span_dups", "x55_crossmodal_agreement", "x46_source_cap",
-    "x47_token_budget", "x64_source_divergence", "x65_quality_dedup",
-    "x66_event_funnel", "x67_retention_cohorts", "x68_event_anomalies",
-    "s09_stream_late_accounting",
-    "x23_hierarchical_rollup", "x24_asof_join", "x25_range_join",
-    "x27_skyline",
-    # -- r08 rows (freshest: re-ran last round, code unchanged) -----
-    "x63_image_dup_pairs", "x69_quarantine_classes",
-    "x32_multimodal_decode", "x16_multimodal_features", "x19_multimodal_frames",
-    "x26_multimodal_resize", "x61_epoch_upsample",
-    "x62_phrase_mining", "s08_stream_ingest_dedup", "x28_stratified_sample",
+    # -- unchanged code, OLDEST official rows first: the 23-entry r07
+    # cohort (VERDICT r10 #5 — the stalest rows after the r06 cohort
+    # re-ran fresh in r10) ---------------------------------------------
+    "x10_text_quality", "x12_text_fingerprint", "x13_events_json",
+    "x14_sessionize_batch", "x15_window_tumbling_batch",
+    "x17_text_bpe_tokens", "x21_salted_agg", "x23_hierarchical_rollup",
+    "x24_asof_join", "x25_range_join", "x27_skyline", "x38_containment",
+    "x44_cross_source_dups", "x46_source_cap", "x47_token_budget",
+    "x51_span_dups", "x55_crossmodal_agreement", "x64_source_divergence",
+    "x65_quality_dedup", "x66_event_funnel", "x67_retention_cohorts",
+    "x68_event_anomalies", "s09_stream_late_accounting",
+    # -- r08 rows (next-stalest; the tail of the ~50-row budget lands
+    # in this block) -----------------------------------------------------
+    "x63_image_dup_pairs", "x69_quarantine_classes", "x32_multimodal_decode",
+    "x16_multimodal_features", "x19_multimodal_frames",
+    "x26_multimodal_resize", "x61_epoch_upsample", "x62_phrase_mining",
+    "s08_stream_ingest_dedup", "x28_stratified_sample",
     "x31_embedding_centroid", "g32_array_funcs", "g33_window_frames",
     "g34_grouping_sets", "g35_pivot", "g36_not_in_subquery",
     "g37_intersect_except_all", "g38_cte_reuse", "g39_lateral_explode",
@@ -97,25 +77,35 @@ _DRIVER_ORDER = [
     "x53_dup_cluster_stats", "x54_incremental_dedup", "e01_scan_project",
     "e02_star", "e03_filter_comparisons", "e04_filter_andor_tree",
     "e05_negative_literal",
-    # -- r09 rows (freshest: re-ran last round, code unchanged since —
-    # the r9 conversion head, the r9 sentinel block, the r05 cohort
-    # and the q1/q3 tail that all got fresh r9 rows) -------------------
-    "x29_sketch_profile", "x30_mergeable_distinct",
-    "x02_dedup_ngram_jaccard", "x04_dedup_minhash_lsh",
-    "x05_dedup_simhash", "x11_text_langid", "x20_dedup_components",
-    "x22_text_sentiment", "x56_chunk_dedup",
-    "x57_component_splits", "x58_weighted_sample",
-    "e06_cross_join",
+    # -- r09 rows (code unchanged since their fresh r9 rows) ------------
+    "x29_sketch_profile", "x30_mergeable_distinct", "x02_dedup_ngram_jaccard",
+    "x04_dedup_minhash_lsh", "x05_dedup_simhash", "x11_text_langid",
+    "x20_dedup_components", "x22_text_sentiment", "x56_chunk_dedup",
+    "x57_component_splits", "x58_weighted_sample", "e06_cross_join",
     "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
     "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
     "g03_group_by_having", "g04_union_all", "g05_union_distinct",
     "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
     "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
     "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
-    "g18_null_handling", "x33_contamination",
-    "x03_dedup_survivors", "g19_window_topn", "g20_scalar_subquery",
-    "g21_count_distinct", "g22_rollup", "q1_pricing_summary",
-    "q3_shipping_priority",
+    "g18_null_handling", "x33_contamination", "x03_dedup_survivors",
+    "g19_window_topn", "g20_scalar_subquery", "g21_count_distinct",
+    "g22_rollup", "q1_pricing_summary", "q3_shipping_priority",
+    # -- r10 rows (freshest: re-ran last round, code unchanged) ---------
+    "q5_local_supplier_volume", "g23_exists", "g24_derived_table",
+    "g25_regexp", "g26_bit_shift", "g27_date_funcs", "g28_math_funcs",
+    "g29_cube", "q4_order_priority", "q12_priority_class",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
+    "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
+    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
+    "q22_sales_opportunity", "x01_dedup_exact", "s01_stream_tumbling",
+    "s03_stream_sliding", "s04_stream_dedup", "s05_stream_session_window",
+    "s02_stream_sessionize", "s06_stream_interval_join", "x34_tfidf_topterms",
+    "x35_sequence_packing", "x36_regex_scrub", "x37_repetition",
+    "x39_vocab_oov", "x40_curation_pipeline", "x41_domain_mix",
+    "x42_length_histogram", "x43_bigram_rarity", "x45_split_assignment",
+    "s07_stream_static_enrich", "x09_text_token_stats",
 ]
 
 
