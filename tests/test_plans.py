@@ -452,3 +452,35 @@ def test_ivf_prepartitioned_probe_partition_prunes(spark, sf_dir, tmp_path):
         emb, qv, k=10, n_lists=8, n_probe=2, exclude_id=0
     ).collect()
     assert [tuple(r) for r in df.collect()] == [tuple(r) for r in inline]
+
+
+def test_ivf_ingest_excludes_null_embeddings(spark, sf_dir, tmp_path):
+    """A dirty corpus (NULL embedding) must not poison the index:
+    `ivf_ingest` filters NULLs scan-stage, so no
+    `__HIVE_DEFAULT_PARTITION__` directory appears, the index holds
+    exactly the non-null rows, and the probe path stays healthy —
+    the same graceful-exclusion semantics the Arrow assignment pass
+    pins for the inline path."""
+    import os
+
+    from sql_engine_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dirty = emb.unionByName(
+        spark.createDataFrame(
+            [(999_999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    path = str(tmp_path / "dirty_idx")
+    C = S.ivf_ingest(dirty, path, n_lists=8)
+    dirs = [d for d in os.listdir(path) if d.startswith("list_id=")]
+    assert not any("HIVE_DEFAULT" in d for d in os.listdir(path))
+    assert 1 <= len(dirs) <= 8
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    assert back.filter(F.col("vec_id") == 999_999).count() == 0
+    qv = S.get_vector(emb, 0)
+    got = S.ivf_topk_prepartitioned(
+        spark, path, C, qv, k=5, n_probe=2, exclude_id=0
+    ).collect()
+    assert len(got) == 5
