@@ -299,6 +299,7 @@ def ivf_ingest(
     seed: int = ANN_SEED,
     train_max: "int | None" = None,
     sample_order: str = "id",
+    files_per_list: "int | None" = None,
 ) -> "np.ndarray":
     """The at-scale IVF ingest: train the coarse quantizer, assign
     every vector JVM-side (:func:`_with_list_assignment` — zero Python
@@ -307,18 +308,34 @@ def ivf_ingest(
     doing ANY per-row assignment work at query time (SCALE.md, the
     stated reason the JVM twin exists). Returns the centroids — the
     only state a probe needs besides the path. One corpus scan, one
-    partitioned write; at 100 TB this is the one-time indexing job."""
+    partitioned write; at 100 TB this is the one-time indexing job.
+
+    ``files_per_list`` controls the output file layout at scale.
+    Default (None) writes straight from the scan tasks — no shuffle,
+    right for local/modest parallelism, but at T tasks a partitionBy
+    write emits up to T files PER list (tasks × lists small files at
+    1000 executors). Setting it inserts one salted repartition on
+    (list_id, hash(id) mod files_per_list): each output task then
+    holds one (list, salt) slice, so every list directory lands as
+    ~``files_per_list`` well-sized files. Repartitioning on list_id
+    ALONE would be wrong twice over — only n_lists distinct keys
+    means at most n_lists live tasks (corpus/n_lists per task: 6 TB
+    apiece at 100 TB), and zero write parallelism headroom; the salt
+    is what bounds BOTH the file count and the per-task bytes."""
     C = _train_spherical_quantizer(
         df, id_col, vec_col, n_lists, seed,
         train_max=train_max or IVF_TRAIN_MAX, sample_order=sample_order,
     )
-    (
-        _with_list_assignment(df.filter(F.col(vec_col).isNotNull()), C, vec_col)
-        .select(id_col, vec_col, "list_id")
-        .write.partitionBy("list_id")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    assigned = _with_list_assignment(
+        df.filter(F.col(vec_col).isNotNull()), C, vec_col
+    ).select(id_col, vec_col, "list_id")
+    if files_per_list is not None:
+        assigned = assigned.repartition(
+            int(files_per_list) * n_lists,
+            F.col("list_id"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(int(files_per_list))),
+        )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
     return C
 
 

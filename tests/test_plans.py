@@ -484,3 +484,41 @@ def test_ivf_ingest_excludes_null_embeddings(spark, sf_dir, tmp_path):
         spark, path, C, qv, k=5, n_probe=2, exclude_id=0
     ).collect()
     assert len(got) == 5
+
+
+def test_ivf_ingest_files_per_list_bounds_layout(spark, sf_dir, tmp_path):
+    """The at-scale file-layout knob: with ``files_per_list`` set, the
+    salted repartition bounds every list directory to ~files_per_list
+    parquet files (vs up to one per scan task without it), and the
+    index contents — and probe results — are unchanged (layout knob,
+    not a semantics knob)."""
+    import os
+
+    from sql_engine_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(8)
+    qv = S.get_vector(emb, 0)
+    p1 = str(tmp_path / "idx_default")
+    p2 = str(tmp_path / "idx_fpl")
+    C1 = S.ivf_ingest(emb, p1, n_lists=8)
+    C2 = S.ivf_ingest(emb, p2, n_lists=8, files_per_list=2)
+    assert (C1 == C2).all()
+
+    def files_by_list(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("list_id="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+                )
+        return out
+
+    fpl = files_by_list(p2)
+    assert fpl and all(n <= 2 for n in fpl.values()), fpl
+    # same rows either way, and the probe agrees bit-for-bit
+    a = sorted(tuple(r) for r in spark.read.parquet(p1).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(p2).collect())
+    assert a == b
+    g1 = S.ivf_topk_prepartitioned(spark, p1, C1, qv, k=5, n_probe=2, exclude_id=0).collect()
+    g2 = S.ivf_topk_prepartitioned(spark, p2, C2, qv, k=5, n_probe=2, exclude_id=0).collect()
+    assert [tuple(r) for r in g1] == [tuple(r) for r in g2]
