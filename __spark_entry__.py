@@ -40,7 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-11 head: entries whose implementation file changed this
+    # -- round-11 head: q21_waiting_supplier is NEW this round (the r11
+    # coverage audit found the one TPC-H plan neither implemented nor
+    # partsupp-blocked — correlated EXISTS + inequality-correlated NOT
+    # EXISTS, reshaped onto l_shipdate per the q12 precedent) — a new
+    # name needs its first official row before anything else. ---------
+    "q21_waiting_supplier",
+    # -- entries whose implementation file changed this
     # round. operators/similarity.py grew ivf_ingest /
     # ivf_topk_prepartitioned (the at-scale partition-prune path,
     # VERDICT r10 #1) and _train_spherical_quantizer's

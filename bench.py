@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive",
+    "q21_waiting_supplier",  # joined r11 with the entry itself (semi+anti fact self-joins — the heaviest new flagship shape); 37-query set, the 36-query comparable excludes it
     "e08_distinct",
     "g08_join_explicit_agg",
     "g19_window_topn",

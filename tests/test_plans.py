@@ -522,3 +522,28 @@ def test_ivf_ingest_files_per_list_bounds_layout(spark, sf_dir, tmp_path):
     g1 = S.ivf_topk_prepartitioned(spark, p1, C1, qv, k=5, n_probe=2, exclude_id=0).collect()
     g2 = S.ivf_topk_prepartitioned(spark, p2, C2, qv, k=5, n_probe=2, exclude_id=0).collect()
     assert [tuple(r) for r in g1] == [tuple(r) for r in g2]
+
+
+def test_q21_semi_anti_shape_no_cartesian(spark, sf_dir):
+    """Q21's defining difficulty — a correlated EXISTS plus an
+    inequality-correlated NOT EXISTS over the same fact — must lower
+    to LeftSemi + LeftAnti hash joins (the anti join carrying the
+    shipdate inequality as a join-side condition), never a cartesian
+    or a per-row subquery; the status-F and nation-IN filters reach
+    their scans, the lineitem scan reads only (orderkey, suppkey,
+    shipdate), and top-100 is TakeOrderedAndProject. All three fact
+    joins key on l_orderkey, so at scale the shuffles share
+    partitioning."""
+    df = matrix.QUERIES["q21_waiting_supplier"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    fmt = _formatted(df)
+    assert "EqualTo(o_orderstatus,F)" in fmt
+    assert "In(n_name, " in fmt
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:timestamp_ntz>"
+        in fmt
+    )
