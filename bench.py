@@ -93,6 +93,7 @@ BENCH_QUERIES = [
 RUNS_OVERRIDE = {
     "q1_pricing_summary": 5,  # VERDICT r8 #3: drifted to 0.736 [0.599,0.851] on untouched code (r7 0.443) — n=5 certifies drift vs regression
     "q18_large_orders": 5,  # VERDICT r7 #4: most spread-prone flagship ([0.897,1.309] at n=3) — n=5 settles noise vs regression
+    "q21_waiting_supplier": 5,  # joined the set r11 — n=5 for a solid first standing bracket (the x18 precedent)
     "x06_sim_topk_brute": 5,  # VERDICT r9 #3: 1.70× n=3 spread in the driver run — n=5
     "x12_text_fingerprint": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.24× on untouched code) — n=5 standing bracket
     "x14_sessionize_batch": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.34× on untouched code) — n=5 standing bracket
