@@ -40,50 +40,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- round-11 head: q21_waiting_supplier is NEW this round (the r11
-    # coverage audit found the one TPC-H plan neither implemented nor
-    # partsupp-blocked — correlated EXISTS + inequality-correlated NOT
-    # EXISTS, reshaped onto l_shipdate per the q12 precedent) — a new
-    # name needs its first official row before anything else. ---------
-    "q21_waiting_supplier",
-    # -- entries whose implementation file changed this
-    # round. operators/similarity.py grew ivf_ingest /
-    # ivf_topk_prepartitioned (the at-scale partition-prune path,
-    # VERDICT r10 #1) and _train_spherical_quantizer's
-    # sample_order="hash" option (VERDICT r10 #2); default behavior is
-    # untouched (new functions + a defaulted kwarg), but policy is
-    # file-level: all eight similarity residents re-run, x18 first. --
+    # -- r12 head: entries whose implementation file changed this
+    # round. operators/similarity.py took the two ADVICE-r11 fixes
+    # (ivf_ingest's train_max None-test instead of truthiness; the
+    # salted-layout docstring softened to the files-per-list BOUND the
+    # test actually pins) — behavior-neutral, but policy is file-level:
+    # all eight similarity residents re-run, x18 first. ---------------
     "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
     "x48_multi_query_topk", "x49_knn_classify",
-    # -- unchanged code, OLDEST official rows first: the 23-entry r07
-    # cohort (VERDICT r10 #5 — the stalest rows after the r06 cohort
-    # re-ran fresh in r10) ---------------------------------------------
-    "x10_text_quality", "x12_text_fingerprint", "x13_events_json",
-    "x14_sessionize_batch", "x15_window_tumbling_batch",
-    "x17_text_bpe_tokens", "x21_salted_agg", "x23_hierarchical_rollup",
-    "x24_asof_join", "x25_range_join", "x27_skyline", "x38_containment",
-    "x44_cross_source_dups", "x46_source_cap", "x47_token_budget",
-    "x51_span_dups", "x55_crossmodal_agreement", "x64_source_divergence",
-    "x65_quality_dedup", "x66_event_funnel", "x67_retention_cohorts",
-    "x68_event_anomalies", "s09_stream_late_accounting",
-    # -- r08 rows (next-stalest; the tail of the ~50-row budget lands
-    # in this block) -----------------------------------------------------
-    "x63_image_dup_pairs", "x69_quarantine_classes", "x32_multimodal_decode",
-    "x16_multimodal_features", "x19_multimodal_frames",
-    "x26_multimodal_resize", "x61_epoch_upsample", "x62_phrase_mining",
-    "s08_stream_ingest_dedup", "x28_stratified_sample",
-    "x31_embedding_centroid", "g32_array_funcs", "g33_window_frames",
-    "g34_grouping_sets", "g35_pivot", "g36_not_in_subquery",
-    "g37_intersect_except_all", "g38_cte_reuse", "g39_lateral_explode",
-    "g40_qualify_topn", "g41_string_agg", "g42_values_inline",
-    "g43_percentiles", "g44_ntile", "g45_recursive_cte", "g46_full_outer",
-    "g47_quantified_all", "g48_semi_anti_join", "g49_grouping_id",
-    "g50_rank_family", "x50_stopword_stats", "x52_quality_stratified",
+    # -- unchanged code, OLDEST official rows first: the 21-entry r08
+    # cohort (VERDICT r11 #5 — the stalest rows after the r7 cohort and
+    # the r8 head re-ran fresh in r11) ---------------------------------
+    "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
+    "g42_values_inline", "g43_percentiles", "g44_ntile",
+    "g45_recursive_cte", "g46_full_outer", "g47_quantified_all",
+    "g48_semi_anti_join", "g49_grouping_id", "g50_rank_family",
+    "x50_stopword_stats", "x52_quality_stratified",
     "x53_dup_cluster_stats", "x54_incremental_dedup", "e01_scan_project",
     "e02_star", "e03_filter_comparisons", "e04_filter_andor_tree",
     "e05_negative_literal",
-    # -- r09 rows (code unchanged since their fresh r9 rows) ------------
+    # -- r09 rows (next-stalest; the tail of the ~50-row budget lands
+    # in this block — 29 + the first ~21 below fit the ~50 budget) ------
     "x29_sketch_profile", "x30_mergeable_distinct", "x02_dedup_ngram_jaccard",
     "x04_dedup_minhash_lsh", "x05_dedup_simhash", "x11_text_langid",
     "x20_dedup_components", "x22_text_sentiment", "x56_chunk_dedup",
@@ -112,6 +90,23 @@ _DRIVER_ORDER = [
     "x39_vocab_oov", "x40_curation_pipeline", "x41_domain_mix",
     "x42_length_histogram", "x43_bigram_rarity", "x45_split_assignment",
     "s07_stream_static_enrich", "x09_text_token_stats",
+    # -- r11 rows (freshest: re-ran last round, code unchanged since —
+    # the r7 cohort, the r8 head, and q21's first official row) ---------
+    "x10_text_quality", "x12_text_fingerprint", "x13_events_json",
+    "x14_sessionize_batch", "x15_window_tumbling_batch",
+    "x17_text_bpe_tokens", "x21_salted_agg", "x23_hierarchical_rollup",
+    "x24_asof_join", "x25_range_join", "x27_skyline", "x38_containment",
+    "x44_cross_source_dups", "x46_source_cap", "x47_token_budget",
+    "x51_span_dups", "x55_crossmodal_agreement", "x64_source_divergence",
+    "x65_quality_dedup", "x66_event_funnel", "x67_retention_cohorts",
+    "x68_event_anomalies", "s09_stream_late_accounting",
+    "x63_image_dup_pairs", "x69_quarantine_classes", "x32_multimodal_decode",
+    "x16_multimodal_features", "x19_multimodal_frames",
+    "x26_multimodal_resize", "x61_epoch_upsample", "x62_phrase_mining",
+    "s08_stream_ingest_dedup", "x28_stratified_sample",
+    "x31_embedding_centroid", "g32_array_funcs", "g33_window_frames",
+    "g34_grouping_sets", "g35_pivot", "g36_not_in_subquery",
+    "g37_intersect_except_all", "g38_cte_reuse", "q21_waiting_supplier",
 ]
 
 

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
 # r4).
 RUNS_OVERRIDE = {
     "q1_pricing_summary": 5,  # VERDICT r8 #3: drifted to 0.736 [0.599,0.851] on untouched code (r7 0.443) — n=5 certifies drift vs regression
+    "q3_shipping_priority": 5,  # VERDICT r11 #1: the r11 driver's CERTIFIED (canary 1.02) window read q3 at median 1.22 s — 1.62× r10 and 1.6× the builder's same-HEAD certified window [0.661, 0.803] on untouched code. A single-query canary certifies the window, not each query's moment; q3 was the only flagship of its cost class without a standing n=5 bracket.
     "q18_large_orders": 5,  # VERDICT r7 #4: most spread-prone flagship ([0.897,1.309] at n=3) — n=5 settles noise vs regression
     "q21_waiting_supplier": 5,  # joined the set r11 — n=5 for a solid first standing bracket (the x18 precedent)
     "x06_sim_topk_brute": 5,  # VERDICT r9 #3: 1.70× n=3 spread in the driver run — n=5
@@ -488,14 +489,10 @@ def main() -> None:
         "canary": canary,
         "canary_all_passes": canaries,
         "canary_rerun": len(canaries) > 1,
-        # VERDICT r10 #3: a dirty run must SAY so in the record itself.
-        # BENCH_r10 shipped at canary 1.5 (both passes contended, the
-        # cleaner one shipped) with no machine-readable marker, and its
-        # five 1.24–1.42× upticks on untouched code read as regressions
-        # until adjudicated against the certified detail. certified ==
-        # "the shipped pass's canary spread is within the clean line" —
-        # per-query targets are only evaluated on certified runs.
-        "certified": canary["spread"] <= CANARY_CLEAN,
+        # "certified" (VERDICT r10 #3: a dirty run must SAY so in the
+        # record itself) is stamped by emit() on BOTH the contract line
+        # and this detail dict — ONE expression, so the two records
+        # cannot drift if the threshold logic changes (ADVICE r11).
         "recall": recall,
         "scale_probe": scale_probe,
     }
@@ -517,6 +514,14 @@ def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None
     knowing the clean line's current value; per-query targets are not
     evaluated on an uncertified run).
     """
+    # The certified verdict is computed HERE, once, and stamped on both
+    # records (ADVICE r11: main()'s detail dict and emit()'s payload
+    # previously each evaluated the threshold — two expressions that
+    # could drift apart if the clean line moves again, as it did
+    # 1.3→1.2 in r10).
+    certified = None if canary_spread is None else canary_spread <= CANARY_CLEAN
+    if certified is not None:
+        detail = {**detail, "certified": certified}
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -536,7 +541,7 @@ def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None
         # One bool a reader can trust without knowing the clean line's
         # current value (it moved 1.3→1.2 in r10): False = contended
         # window, do NOT read per-query deltas as regressions.
-        payload["certified"] = canary_spread <= CANARY_CLEAN
+        payload["certified"] = certified
     line = json.dumps(payload)
     print(line, flush=True)
     return line

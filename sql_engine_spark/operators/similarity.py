@@ -315,16 +315,20 @@ def ivf_ingest(
     right for local/modest parallelism, but at T tasks a partitionBy
     write emits up to T files PER list (tasks × lists small files at
     1000 executors). Setting it inserts one salted repartition on
-    (list_id, hash(id) mod files_per_list): each output task then
-    holds one (list, salt) slice, so every list directory lands as
-    ~``files_per_list`` well-sized files. Repartitioning on list_id
+    (list_id, hash(id) mod files_per_list): a given list's rows land
+    in at most ``files_per_list`` output tasks, so every list
+    directory holds ≤ ``files_per_list`` well-sized files. (Hash
+    collisions among (list, salt) keys can co-locate several slices
+    in one task — the files-PER-LIST bound is the guarantee, and is
+    what the layout test pins.) Repartitioning on list_id
     ALONE would be wrong twice over — only n_lists distinct keys
     means at most n_lists live tasks (corpus/n_lists per task: 6 TB
     apiece at 100 TB), and zero write parallelism headroom; the salt
     is what bounds BOTH the file count and the per-task bytes."""
     C = _train_spherical_quantizer(
         df, id_col, vec_col, n_lists, seed,
-        train_max=train_max or IVF_TRAIN_MAX, sample_order=sample_order,
+        train_max=train_max if train_max is not None else IVF_TRAIN_MAX,
+        sample_order=sample_order,
     )
     assigned = _with_list_assignment(
         df.filter(F.col(vec_col).isNotNull()), C, vec_col

@@ -350,11 +350,18 @@ def test_bench_contract_line_is_compact(tmp_path, capsys, monkeypatch):
     # stdout: the contract line is the LAST line.
     out_lines = capsys.readouterr().out.strip().splitlines()
     assert out_lines[-1] == line
-    # sidecar holds the detail verbatim.
-    assert json.loads(detail_file.read_text())["recall"] == {"x": 1}
-    # An over-the-line canary flips the verdict (VERDICT r10 #3).
+    # sidecar holds the detail verbatim — and carries the SAME
+    # certified verdict as the contract line, stamped by emit() from
+    # one expression (ADVICE r11: two independent evaluations of the
+    # threshold could drift apart when the clean line moves).
+    sidecar = json.loads(detail_file.read_text())
+    assert sidecar["recall"] == {"x": 1}
+    assert sidecar["certified"] is parsed["certified"] is True
+    # An over-the-line canary flips the verdict (VERDICT r10 #3) — in
+    # BOTH records.
     dirty = json.loads(bench.emit(timings, 0.1, detail, canary_spread=1.5))
     assert dirty["certified"] is False
+    assert json.loads(detail_file.read_text())["certified"] is False
 
 
 def test_rows_only_harness_action_is_noop_write():
@@ -371,6 +378,43 @@ def test_rows_only_harness_action_is_noop_write():
     assert "count() >= 0" not in sim
     bench_src = (root / "bench.py").read_text()
     assert 'format("noop")' in bench_src
+
+
+def test_replica_scale_id_arithmetic_survives_x500(spark):
+    """Pin tools/replica_scale.py's id-offset arithmetic at ×500 — the
+    exact point where the r11 ad-hoc harness died (k * 10**7 computed
+    in int32: 499 * 10**7 ≈ 4.99e9 > 2**31, ANSI ARITHMETIC_OVERFLOW;
+    same failure class the r4 sweep fixed in the engine). The tool
+    casts BOTH operands to long before the multiply (VERDICT r11 #3);
+    this test is the tripwire that keeps that cast load-bearing."""
+    from pyspark.sql import functions as F
+
+    from tools.replica_scale import ID_OFFSET, replicate_table
+
+    # The failure class is real in this session (ANSI on): the naive
+    # int32 multiply the old scripts wrote DOES throw at factor 500.
+    with pytest.raises(Exception, match="(?i)overflow"):
+        spark.range(1).select(
+            (F.lit(499) * F.lit(ID_OFFSET)).alias("bad")
+        ).collect()
+
+    base = spark.range(3).select(F.col("id").alias("doc_id"))
+    rep = replicate_table(base, 500, ["doc_id"])
+    assert dict(rep.dtypes)["doc_id"] == "bigint"
+    stats = rep.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.max("doc_id").alias("mx"),
+        F.min("doc_id").alias("mn"),
+    ).collect()[0]
+    # 3 rows × 500 replicas, all ids distinct (offset clears the base
+    # range), top id exactly base_max + 499 * offset — long arithmetic,
+    # no wraparound, no ANSI error.
+    assert stats.n == 1500 and stats.nd == 1500
+    assert stats.mx == 2 + 499 * ID_OFFSET
+    assert stats.mn == 0
+    # factor=1 is the identity — no __k residue, schema untouched.
+    assert replicate_table(base, 1, ["doc_id"]).columns == ["doc_id"]
 
 
 def test_prefix_order_default_is_df():
