@@ -489,10 +489,9 @@ def main() -> None:
         "canary": canary,
         "canary_all_passes": canaries,
         "canary_rerun": len(canaries) > 1,
-        # "certified" (VERDICT r10 #3: a dirty run must SAY so in the
-        # record itself) is stamped by emit() on BOTH the contract line
-        # and this detail dict — ONE expression, so the two records
-        # cannot drift if the threshold logic changes (ADVICE r11).
+        # "certified" (VERDICT r10 #3) is stamped by emit() on BOTH the
+        # contract line and this detail dict from ONE expression, so
+        # the two records cannot drift (ADVICE r11).
         "recall": recall,
         "scale_probe": scale_probe,
     }
@@ -515,10 +514,8 @@ def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None
     evaluated on an uncertified run).
     """
     # The certified verdict is computed HERE, once, and stamped on both
-    # records (ADVICE r11: main()'s detail dict and emit()'s payload
-    # previously each evaluated the threshold — two expressions that
-    # could drift apart if the clean line moves again, as it did
-    # 1.3→1.2 in r10).
+    # records (ADVICE r11: two independent evaluations of the threshold
+    # could drift apart when the clean line moves, as it did in r10).
     certified = None if canary_spread is None else canary_spread <= CANARY_CLEAN
     if certified is not None:
         detail = {**detail, "certified": certified}

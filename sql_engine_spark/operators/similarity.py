@@ -316,11 +316,10 @@ def ivf_ingest(
     write emits up to T files PER list (tasks × lists small files at
     1000 executors). Setting it inserts one salted repartition on
     (list_id, hash(id) mod files_per_list): a given list's rows land
-    in at most ``files_per_list`` output tasks, so every list
-    directory holds ≤ ``files_per_list`` well-sized files. (Hash
-    collisions among (list, salt) keys can co-locate several slices
-    in one task — the files-PER-LIST bound is the guarantee, and is
-    what the layout test pins.) Repartitioning on list_id
+    in at most ``files_per_list`` output tasks — the files-PER-LIST
+    bound is the guarantee (hash collisions among (list, salt) keys
+    can co-locate slices in one task), and is what the layout test
+    pins. Repartitioning on list_id
     ALONE would be wrong twice over — only n_lists distinct keys
     means at most n_lists live tasks (corpus/n_lists per task: 6 TB
     apiece at 100 TB), and zero write parallelism headroom; the salt

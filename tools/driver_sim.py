@@ -36,32 +36,23 @@ def assert_oracles_built() -> None:
 
 
 def warmup_session(spark, sf_dir: str) -> None:
-    """Throwaway session warmup BEFORE the first timed entry (VERDICT
-    r11 #4): a fresh vanilla session's first jobs absorb ~7 s of
-    JIT/classloading + Python-worker/Arrow startup, and rotation makes
-    whichever entry runs first eat it — r11's sims recorded x18 at
-    ~7 s at EVERY sf (scale-independent, i.e. overhead not work,
-    pre-adjudicated in BASELINE.md) purely because it led the order.
-    Two untimed actions pay that cost outside any recorded timing:
-    a parquet scan → shuffle → noop write (JVM codegen/classloading,
-    the same warmup shape bench.py uses) and a tiny Arrow
-    applyInPandas stage (Python worker + Arrow serde startup — the
-    x18/x59 ingredient plain JVM warmup would miss)."""
-    import pandas as pd  # noqa: F401  (worker-side import warmed too)
+    """Throwaway warmup BEFORE the first timed entry (VERDICT r11 #4):
+    a fresh session's first jobs absorb ~7 s of JIT/classload + Arrow
+    startup, and rotation makes whichever entry runs first eat it
+    (r11 sims read x18 at ~7 s at EVERY sf — overhead, not work). Two
+    untimed actions pay that cost instead: a parquet scan → noop write
+    (JVM codegen) and a tiny applyInPandas stage (Python worker +
+    Arrow serde — the ingredient plain JVM warmup would miss)."""
     from pyspark.sql import functions as F
 
     t0 = time.time()
-    _m.QUERIES["e02_star"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    (
+    noop = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+    noop(_m.QUERIES["e02_star"](spark, sf_dir))
+    noop(
         spark.range(256)
         .withColumn("g", F.pmod("id", F.lit(8)))
         .groupBy("g")
         .applyInPandas(lambda pdf: pdf.head(1), "id long, g bigint")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
     )
     print(f"# session warmup (untimed): {time.time() - t0:.2f}s", flush=True)
 
