@@ -7,28 +7,17 @@ stdout line — driver tail-capture safe):
 Spreads, warmups, and ANN-recall operating points go to
 BENCH_DETAIL.json next to this file (and stderr), never the stdout line.
 
-Methodology (round-2 upgrades per VERDICT.md):
-- Each query runs ONE discarded warmup (codegen compile, file-cache
-  fill — first-run cost that says nothing about the plan) and then
-  $SPARK_GRAFT_BENCH_RUNS measured times (default 3); ``queries``
-  reports the MEDIAN and ``spread`` the [min, max] of the measured
-  runs, so one-off JIT / cache effects are visible instead of
-  silently recorded. ``warmup`` records the discarded first run.
-- The measured action is a ``noop``-format write (all columns
-  materialized and shipped) instead of ``count()``, which lets Spark
-  prune every projection and under-measures wide outputs.
-- ``recall`` records ANN recall@10 of the approximate searchers (x07
-  SRP-LSH, x18 IVF) against the exact brute-force top-k (x06) at the
-  same scale factor, so the recall/latency tradeoff is tracked
-  round-over-round.
+Methodology (round-2 upgrades per VERDICT.md): each query runs ONE
+discarded warmup, then $SPARK_GRAFT_BENCH_RUNS measured times
+(default 3); ``queries`` reports the MEDIAN, ``spread`` the
+[min, max], ``warmup`` the discarded first run. The measured action
+is a ``noop``-format write — a count() would let Spark prune every
+projection and under-measure wide outputs. ``recall`` tracks ANN
+recall@10 (x07 SRP-LSH, x18 IVF) vs the exact brute top-k (x06).
 
-Headline set: the three TPC-H-style plans (scan-agg, filtered 3-way
-join top-k, 6-way broadcast join), the heaviest Tier-X pipelines
-(near-dup dedup exact + LSH, similarity pair mining, sessionization),
-the Arrow-stage image decode path (x32, added r8 — the one hot
-payload-touching family, previously with no longitudinal perf
-record), and a streaming window run — the queries whose plans decide
-whether the engine survives a 100× scale-up.
+Headline set: the TPC-H-style flagship plans, the heaviest Tier-X
+pipelines, the Arrow decode path, and a streaming window run — the
+queries whose plans decide whether the engine survives a 100× scale-up.
 """
 
 from __future__ import annotations
@@ -82,14 +71,10 @@ BENCH_QUERIES = [
 ]
 
 # Per-query measured-run overrides (VERDICT r3 item 8): queries whose
-# driver medians sat just outside their target inside the documented
-# ±30% box variance get n=5 so BENCH_DETAIL's spread brackets the
-# median instead of leaving it to a 3-sample coin flip. x33 joined in
-# r5 (VERDICT r4 #4: its 1.17→1.40 s driver drift was the one
-# unexplained >15% regression — n=5 decides noise vs real). The
-# per-query n is recorded in BENCH_DETAIL["n_runs"] so spread
-# comparisons across queries aren't read as one sample size (ADVICE
-# r4).
+# driver medians drifted on untouched code get n=5 so BENCH_DETAIL's
+# spread brackets the median instead of leaving it to a 3-sample coin
+# flip. Per-query n is recorded in BENCH_DETAIL["n_runs"] so spread
+# comparisons across queries aren't read as one sample size (ADVICE r4).
 RUNS_OVERRIDE = {
     "q1_pricing_summary": 5,  # VERDICT r8 #3: drifted to 0.736 [0.599,0.851] on untouched code (r7 0.443) — n=5 certifies drift vs regression
     "q3_shipping_priority": 5,  # VERDICT r11 #1: the r11 driver's CERTIFIED (canary 1.02) window read q3 at median 1.22 s — 1.62× r10 and 1.6× the builder's same-HEAD certified window [0.661, 0.803] on untouched code. A single-query canary certifies the window, not each query's moment; q3 was the only flagship of its cost class without a standing n=5 bracket.
@@ -111,17 +96,14 @@ RUNS_OVERRIDE = {
     "x59_semantic_dedup": 5,
 }
 
-# Contention canary (VERDICT r5 #1): two rounds running, the official
-# BENCH number moved for non-code reasons (box contention inflating
-# untouched JVM-only plans 15–85%). A fixed JVM-only query — e08's
-# DISTINCT plan, unchanged since r1, zero Python — is timed at the
-# START, MIDPOINT, and END of the measured loop; max/min of the three
-# samples is the run's contention spread. The spread is recorded in
-# BENCH_DETAIL *and* as a top-level "canary_spread" field on the
-# contract line, so any reader can see whether the run is clean
-# (≤ CANARY_CLEAN) without cross-referencing builder notes. A flagged
-# first pass triggers ONE full re-measure; the pass with the cleaner
-# canary becomes the official timings (both canaries stay in detail).
+# Contention canary (VERDICT r5 #1): the official BENCH number has
+# moved for non-code reasons (box contention inflating untouched
+# JVM-only plans 15–85%). A fixed JVM-only query — e08's DISTINCT
+# plan, unchanged since r1, zero Python — is timed at the START,
+# MIDPOINT, and END of the measured loop; max/min of the samples is
+# the run's contention spread, recorded in BENCH_DETAIL *and* on the
+# contract line ("canary_spread"). A flagged first pass triggers ONE
+# full re-measure; the cleaner-canary pass ships (both stay in detail).
 CANARY_QUERY = "e08_distinct"
 # 1.3 → 1.2 in r10 (VERDICT r9 #3): BENCH_r09 shipped at spread 1.27 —
 # under the old rerun line yet uniformly ~1.2× inflated across
@@ -129,19 +111,36 @@ CANARY_QUERY = "e08_distinct"
 # 1.2–1.3 band now buy the one re-measure instead of shipping.
 CANARY_CLEAN = 1.2
 
+# Single-SLOT contention line (r12): a certified window certifies the
+# WINDOW, not each query's moment — r11's driver window read q3 at
+# 1.6× and an r12 certified window read x38 at 3.145 [2.702, 4.011]
+# on untouched code while e08 stayed clean both times. At n≥5 a slot
+# whose own max/min spread exceeds this line self-flags as contended:
+# its median is not target-evaluable, re-measure it solo (the three
+# r12 incidents read 2.06/1.48/8.2; clean slots read ≤ 1.31).
+SLOT_SPREAD_LINE = 1.35
+
+
+def slot_contended(spread: dict, n_by_query: dict) -> dict:
+    """Names → intra-spread for slots that self-flag (n≥5 only — an
+    n=3 spread is a coin flip, not a contention signal)."""
+    return {
+        name: round(mx / max(mn, 1e-9), 2)
+        for name, (mn, mx) in spread.items()
+        if n_by_query.get(name, 0) >= 5 and mx / max(mn, 1e-9) > SLOT_SPREAD_LINE
+    }
+
 
 def _noop(df) -> None:
     """Materialize every output column via a noop-format write — the
-    shared measured action for probes (projection cost is paid; a
-    count() would prune it away)."""
+    shared measured action for probes."""
     df.write.format("noop").mode("overwrite").save()
 
 
 def _run_once(fn, spark, sf_dir: str) -> float:
     # Drop the dedup memo artifacts (shingle index, pair graph) so a
     # timed run measures the OPERATOR, not a cache hit from its own
-    # warmup — the bench reports per-run cost; intra-session artifact
-    # reuse is a feature, not a benchmark number.
+    # warmup — intra-session artifact reuse is a feature, not a number.
     from sql_engine_spark.operators.dedup import clear_shingle_index
 
     clear_shingle_index()
@@ -492,6 +491,7 @@ def main() -> None:
         # "certified" (VERDICT r10 #3) is stamped by emit() on BOTH the
         # contract line and this detail dict from ONE expression, so
         # the two records cannot drift (ADVICE r11).
+        "slot_contended": slot_contended(spread, n_by_query),
         "recall": recall,
         "scale_probe": scale_probe,
     }

@@ -380,6 +380,28 @@ def test_rows_only_harness_action_is_noop_write():
     assert 'format("noop")' in bench_src
 
 
+def test_slot_contended_flags_only_wide_n5_spreads():
+    """The r12 slot-contention self-flag: a certified window certifies
+    the WINDOW, not each query's moment (q3 in r11, x38/x18/q18 in
+    r12 read 1.48–8.2× intra-spreads inside otherwise-clean windows).
+    slot_contended() must flag exactly the n≥5 slots whose own max/min
+    spread exceeds SLOT_SPREAD_LINE — and never an n=3 slot, whose
+    spread is a coin flip, not a signal."""
+    import bench
+
+    spread = {
+        "x38": [2.702, 4.011],  # the real r12 window-B incident: 1.48×
+        "x18": [1.12, 9.2],  # window C: 8.21×
+        "q3": [0.656, 0.78],  # clean: 1.19×
+        "wide_n3": [1.0, 2.0],  # wide but n=3 — not a signal
+    }
+    n = {"x38": 5, "x18": 5, "q3": 5, "wide_n3": 3}
+    flags = bench.slot_contended(spread, n)
+    assert flags == {"x38": 1.48, "x18": 8.21}
+    # Boundary: exactly at the line does not flag (strictly greater).
+    assert bench.slot_contended({"q": [1.0, bench.SLOT_SPREAD_LINE]}, {"q": 5}) == {}
+
+
 def test_replica_scale_id_arithmetic_survives_x500(spark):
     """Pin tools/replica_scale.py's id-offset arithmetic at ×500 — the
     exact point where the r11 ad-hoc harness died (k * 10**7 computed
