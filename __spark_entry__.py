@@ -40,12 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- r12 head: entries whose implementation file changed this
-    # round. operators/similarity.py took the two ADVICE-r11 fixes
-    # (ivf_ingest's train_max None-test instead of truthiness; the
-    # salted-layout docstring softened to the files-per-list BOUND the
-    # test actually pins) — behavior-neutral, but policy is file-level:
-    # all eight similarity residents re-run, x18 first. ---------------
+    # -- r12 head: operators/similarity.py took the two ADVICE-r11
+    # fixes (train_max None-test; files-per-list docstring bound) —
+    # behavior-neutral, but policy is file-level: all eight similarity
+    # residents re-run, x18 first. ------------------------------------
     "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
     "x48_multi_query_topk", "x49_knn_classify",
@@ -121,18 +119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for EVERY entry — 154/154 since
-    r9; the rows-only class is empty. MinHash/SimHash/stateful-
-    sessionize became hard oracle rows in r6 (portable md5-prefix
-    hashes / batch replay); frame-sample and resize in r7
-    (byte-aligned hex-domain replay); image dup pairs, the mergeable
-    HLL, and SRP-ANN in r8 (stored-deflate payloads, portable
-    registers + lut'd linear counting, plane-literal left folds);
-    IVF, SemDeDup, and k-means refine in r9 (builder-retrained
-    literal centroids + order-pinned vectorized folds + micro-unit
-    fixed point, regenerated per sf via matrix.ORACLE_BUILDERS — the
-    driver's static strings target its sf0.01 contract); and finally
-    the x29 profile in r9 (the GK quantile sketch — the one
-    engine-internal piece left — replaced by a portable integer HDR
-    histogram over exact cents, operators/sketches.py)."""
+    """DuckDB-runnable ANSI SQL twin for EVERY entry (the rows-only
+    class has been empty since r9). The once-engine-internal families
+    became hard oracle rows via portable reformulations — md5-prefix
+    hash families, hex-domain byte replay, literal-centroid retrains
+    regenerated per sf via matrix.ORACLE_BUILDERS (the driver's static
+    strings target its sf0.01 contract), and an integer HDR histogram
+    in place of the GK sketch; BASELINE.md r6–r9 has the history."""
     return _driver_sorted(dict(matrix.ORACLE))

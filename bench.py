@@ -1,11 +1,9 @@
 #!/usr/bin/env python3
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE compact JSON line (the LAST
-stdout line — driver tail-capture safe):
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-Spreads, warmups, and ANN-recall operating points go to
-BENCH_DETAIL.json next to this file (and stderr), never the stdout line.
+local[$SPARK_GRAFT_CPUS] and print ONE compact JSON line as the LAST
+stdout line (driver tail-capture safe); spreads, warmups, and
+ANN-recall operating points go to BENCH_DETAIL.json, never stdout.
 
 Methodology (round-2 upgrades per VERDICT.md): each query runs ONE
 discarded warmup, then $SPARK_GRAFT_BENCH_RUNS measured times
@@ -114,10 +112,10 @@ CANARY_CLEAN = 1.2
 # Single-SLOT contention line (r12): a certified window certifies the
 # WINDOW, not each query's moment — r11's driver window read q3 at
 # 1.6× and an r12 certified window read x38 at 3.145 [2.702, 4.011]
-# on untouched code while e08 stayed clean both times. At n≥5 a slot
-# whose own max/min spread exceeds this line self-flags as contended:
-# its median is not target-evaluable, re-measure it solo (the three
-# r12 incidents read 2.06/1.48/8.2; clean slots read ≤ 1.31).
+# while e08 stayed clean both times. At n≥5 a slot whose own max/min
+# spread exceeds this line self-flags: its median is not
+# target-evaluable, re-measure solo (r12 incidents read 1.48–8.2;
+# clean slots ≤ 1.31).
 SLOT_SPREAD_LINE = 1.35
 
 
@@ -391,9 +389,8 @@ def _measure(spark, sf_dir: str, n_runs: int):
     canary_fn = matrix.QUERIES[CANARY_QUERY]
 
     def canary_sample() -> float:
-        # min-of-2: the signature being detected is SUSTAINED inflation
-        # (minutes of box contention), not a single GC blip — one
-        # 50 ms pause on a 0.2 s probe must not flag a clean run.
+        # min-of-2: the detected signature is SUSTAINED inflation, not
+        # a single GC blip — one 50 ms pause must not flag a clean run.
         return round(min(_run_once(canary_fn, spark, sf_dir) for _ in range(2)), 3)
 
     samples = [canary_sample()]
@@ -437,10 +434,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths so per-query numbers measure the plan,
-    # not first-call classloading — including the canary's own plan.
-    # The canary warms 3×: the first few jobs of a fresh session run
-    # 2–3× slow under C2 JIT/GC warmup (both r6 protocol runs showed
-    # a 0.38–0.54 s first sample settling to 0.17–0.20 s), and a
+    # not first-call classloading. The canary warms 3×: a fresh
+    # session's first jobs run 2–3× slow under C2 JIT/GC warmup, and a
     # warmup-inflated first sample would flag a CLEAN run and buy a
     # pointless full re-measure.
     matrix.QUERIES["e02_star"](spark, sf_dir).collect()
@@ -501,18 +496,12 @@ def main() -> None:
 def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None) -> str:
     """Write the detail sidecar and print the compact driver-contract
     JSON as the LAST stdout line. Returns the line (for tests).
-
-    Detail (spreads, warmups, recall operating points, scale probes)
-    goes to BENCH_DETAIL.json + stderr, NOT the stdout line —
-    BENCH_r02 was lost ("parsed": null) because the one JSON line
-    outgrew the driver's tail capture. The contract line carries ONLY
-    metric/value/unit/queries/sf plus the one-float contention
-    "canary_spread" and its boolean verdict "certified" (VERDICT r5
-    #1 + r10 #3: readers must be able to tell a clean run from a
-    contention-poisoned one from the official record itself, without
-    knowing the clean line's current value; per-query targets are not
-    evaluated on an uncertified run).
-    """
+    Detail goes to BENCH_DETAIL.json + stderr, NOT the stdout line
+    (BENCH_r02 was lost when the one JSON line outgrew the driver's
+    tail capture); the contract line carries only metric/value/unit/
+    queries/sf + "canary_spread" and its verdict "certified"
+    (VERDICT r5 #1 + r10 #3 — per-query targets are not evaluated on
+    an uncertified run)."""
     # The certified verdict is computed HERE, once, and stamped on both
     # records (ADVICE r11: two independent evaluations of the threshold
     # could drift apart when the clean line moves, as it did in r10).

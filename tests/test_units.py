@@ -439,6 +439,38 @@ def test_replica_scale_id_arithmetic_survives_x500(spark):
     assert replicate_table(base, 1, ["doc_id"]).columns == ["doc_id"]
 
 
+def test_replica_scale_mutates_text_so_replicas_are_not_dups(spark):
+    """Dedup-family curves need constant dup DENSITY as volume grows:
+    replicate_table's mutate_cols suffixes every token with the
+    replica index k (k>0 only — replica 0 is the original corpus), so
+    no shingle is shared across replicas and a banded/prefix-filtered
+    path sees k× volume at the same density. Verbatim clones would
+    instead multiply every doc's dup count by factor — the wrong
+    regime (bench._scale_probe's replicate() pins the same semantics
+    with per-frame literals; this is the exploded-column twin)."""
+    from pyspark.sql import functions as F
+
+    from tools.replica_scale import replicate_table
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")], "doc_id long, text string"
+    )
+    rep = replicate_table(base, 3, ["doc_id"], ["text"]).collect()
+    texts = {r.doc_id: r.text for r in rep}
+    assert len(texts) == 6
+    # Replica 0 is verbatim; replica k suffixes EVERY token with k.
+    assert texts[0] == "alpha beta gamma"
+    assert texts[10_000_000] == "alpha1 beta1 gamma1"
+    assert texts[20_000_000] == "alpha2 beta2 gamma2"
+    assert texts[1] == "delta epsilon"
+    assert texts[20_000_001] == "delta2 epsilon2"
+    # No token (shingle ingredient) is shared across replicas of the
+    # same doc — replicas are mutually non-duplicate by construction.
+    token_sets = [set(texts[k * 10_000_000].split()) for k in range(3)]
+    assert not (token_sets[0] & token_sets[1])
+    assert not (token_sets[1] & token_sets[2])
+
+
 def test_prefix_order_default_is_df():
     """Every public near-dup entry point must DEFAULT to the
     document-frequency ('df') prefix order — the hot-shingle skew

@@ -1,9 +1,7 @@
 """Simulate the driver's correctness pass: run every ``queries()`` entry
-at sf0.01 against its DuckDB oracle, timing each, so we can see which
-entries are slow enough to blow a driver time budget. Usage:
-
-    python tools/driver_sim.py [sf_dir] [name ...]
-"""
+against its DuckDB oracle, timing each, so we can see which entries
+would blow a driver time budget.
+Usage: python tools/driver_sim.py [sf_dir] [name ...]"""
 
 from __future__ import annotations
 
@@ -22,12 +20,10 @@ from tests.oracle_harness import compare, run_oracle
 
 
 def assert_oracles_built() -> None:
-    """Fail LOUDLY (non-zero exit, not a stderr warn) if any
-    data-dependent oracle builder failed at import: a missing/corrupt
-    testdata dir silently downgrades those entries to rows-only checks,
-    and a sim that then prints all-PASS is a noop gate (VERDICT r9 #6 /
-    ADVICE r9). pytest pins the same invariant where tests run; this is
-    the guard for driver-style runs where they don't."""
+    """Fail LOUDLY (non-zero exit) if any data-dependent oracle builder
+    failed at import: a missing/corrupt testdata dir silently
+    downgrades those entries to rows-only checks, and a sim that then
+    prints all-PASS is a noop gate (VERDICT r9 #6 / ADVICE r9)."""
     if _m.ORACLE_BUILD_FAILURES:
         raise SystemExit(
             "driver_sim: oracle builder(s) failed at import — hard oracles "
@@ -76,9 +72,8 @@ def main() -> None:
             sdf = fn(spark, sf_dir)
             if name in oracles:
                 # data-dependent oracles regenerate per NON-driver sf;
-                # at the driver sf use the static string the real
-                # driver runs (pinned == builder output by test_units)
-                # so the rebuild cost never pollutes the entry's dt.
+                # at the driver sf use the static string the driver
+                # runs (pinned == builder output by test_units).
                 sql = (
                     oracles[name]
                     if sf_dir == _m.DRIVER_SF_DIR
@@ -87,9 +82,8 @@ def main() -> None:
                 opdf = run_oracle(sql, sf_dir)
                 ok, msg = compare(sdf, opdf)
             else:
-                # noop write, NOT count(): count() lets Spark prune
-                # every projection, so a rows-only entry would never
-                # pay (or verify) its output expressions (VERDICT r2).
+                # noop write, NOT count(): count() would let Spark
+                # prune every output expression (VERDICT r2).
                 sdf.write.format("noop").mode("overwrite").save()
                 ok, msg = True, "rows-only"
         except Exception as exc:  # noqa: BLE001

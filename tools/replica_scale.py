@@ -39,6 +39,14 @@ FACT_ID_COLS: dict[str, list[str]] = {
     "events": ["event_id"],
 }
 
+# Text columns mutated per replica (every token suffixed with k):
+# dedup-family curves need mutually NON-duplicate replicas so dup
+# DENSITY stays constant while volume grows (bench._scale_probe's
+# semantics) — verbatim clones would multiply every doc's dup count
+# by factor and measure the wrong regime. Embeddings stay verbatim:
+# top-k scan/rerank cost is content-independent.
+MUTATE_COLS: dict[str, list[str]] = {"documents": ["text"]}
+
 # Per-query protocol: which tables replicate (the rest are symlinked).
 PROTOCOLS: dict[str, tuple[str, ...]] = {
     "q18_large_orders": ("orders", "lineitem"),
@@ -51,12 +59,15 @@ PROTOCOLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def replicate_table(df: DataFrame, factor: int, id_cols: list[str]) -> DataFrame:
+def replicate_table(
+    df: DataFrame, factor: int, id_cols: list[str], mutate_cols: list[str] = ()
+) -> DataFrame:
     """Clone every row ``factor`` times, offsetting each ``id_cols`` by
     ``k * ID_OFFSET`` — both operands cast to long BEFORE the multiply
-    (pinned at ×500: int32 ``k`` × ID_OFFSET throws under ANSI, k>214).
-    explode() can't nest inside a cast (generator rule), so __k lands
-    int32 and the load-bearing casts happen at the use site."""
+    (pinned at ×500: int32 ``k`` × ID_OFFSET throws under ANSI, k>214;
+    explode() can't nest inside a cast, so the casts sit at the use
+    site). ``mutate_cols`` text gets every token suffixed with k (k>0)
+    so replicas are mutually non-duplicate (MUTATE_COLS rationale)."""
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
     if factor == 1:
@@ -67,6 +78,18 @@ def replicate_table(df: DataFrame, factor: int, id_cols: list[str]) -> DataFrame
             c,
             F.col(c).cast("long")
             + F.col("__k").cast("long") * F.lit(ID_OFFSET).cast("long"),
+        )
+    for c in mutate_cols:
+        rep = rep.withColumn(
+            c,
+            F.when(
+                F.col("__k") > 0,
+                F.regexp_replace(
+                    F.col(c),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1"), F.col("__k").cast("string")),
+                ),
+            ).otherwise(F.col(c)),
         )
     return rep.drop("__k")
 
@@ -86,7 +109,10 @@ def build_replica_dir(
         dst = os.path.join(out_dir, f"{name}.parquet")
         if name in fact_tables:
             replicate_table(
-                load_table(spark, sf_dir, name), factor, FACT_ID_COLS[name]
+                load_table(spark, sf_dir, name),
+                factor,
+                FACT_ID_COLS[name],
+                MUTATE_COLS.get(name, ()),
             ).write.mode("overwrite").parquet(dst)
         elif not os.path.lexists(dst):
             os.symlink(src, dst)
