@@ -471,6 +471,39 @@ def test_replica_scale_mutates_text_so_replicas_are_not_dups(spark):
     assert not (token_sets[1] & token_sets[2])
 
 
+def test_replica_dir_routes_documents_through_mutation(spark, tmp_path):
+    """build_replica_dir must apply MUTATE_COLS when it WRITES the
+    documents replica — a curve run goes through this path, not
+    replicate_table directly, so a regression here (e.g. dropping the
+    mutate_cols pass-through) would silently revert dedup curves to
+    the exploding-dup-density regime while the unit pin above stays
+    green. Missing tables are skipped (the loop tolerates partial
+    corpora), and non-fact tables are symlinked, not copied."""
+    import os
+
+    from tools.replica_scale import ID_OFFSET, build_replica_dir
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    ).write.parquet(str(src / "documents.parquet"))
+    spark.createDataFrame([(0, "AFRICA")], "r_regionkey long, r_name string").write.parquet(
+        str(src / "region.parquet")
+    )
+    out = build_replica_dir(spark, str(src), 2, str(tmp_path / "x2"), ("documents",))
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(os.path.join(out, "documents.parquet")).collect()
+    }
+    assert texts[0] == "alpha beta" and texts[ID_OFFSET] == "alpha1 beta1"
+    assert texts[1] == "gamma delta" and texts[ID_OFFSET + 1] == "gamma1 delta1"
+    # Non-fact tables arrive as symlinks to the base corpus (zero copy).
+    assert os.path.islink(os.path.join(out, "region.parquet"))
+    # Tables absent from the base corpus are skipped, not erred on.
+    assert not os.path.exists(os.path.join(out, "lineitem.parquet"))
+
+
 def test_prefix_order_default_is_df():
     """Every public near-dup entry point must DEFAULT to the
     document-frequency ('df') prefix order — the hot-shingle skew
