@@ -40,40 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- r12 head: operators/similarity.py took the two ADVICE-r11
-    # fixes (train_max None-test; files-per-list docstring bound) —
-    # behavior-neutral, but policy is file-level: all eight similarity
-    # residents re-run, x18 first. ------------------------------------
+    # -- r13 head: operators/similarity.py took the ADVICE-r12
+    # train_max>=1 guard — behavior-neutral, but policy is file-level:
+    # all eight similarity residents re-run, x18 first. -----------------
     "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
     "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
     "x48_multi_query_topk", "x49_knn_classify",
-    # -- unchanged code, OLDEST official rows first: the 21-entry r08
-    # cohort (VERDICT r11 #5 — the stalest rows after the r7 cohort and
-    # the r8 head re-ran fresh in r11) ---------------------------------
-    "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
-    "g42_values_inline", "g43_percentiles", "g44_ntile",
-    "g45_recursive_cte", "g46_full_outer", "g47_quantified_all",
-    "g48_semi_anti_join", "g49_grouping_id", "g50_rank_family",
-    "x50_stopword_stats", "x52_quality_stratified",
-    "x53_dup_cluster_stats", "x54_incremental_dedup", "e01_scan_project",
-    "e02_star", "e03_filter_comparisons", "e04_filter_andor_tree",
-    "e05_negative_literal",
-    # -- r09 rows (next-stalest; the tail of the ~50-row budget lands
-    # in this block — 29 + the first ~21 below fit the ~50 budget) ------
-    "x29_sketch_profile", "x30_mergeable_distinct", "x02_dedup_ngram_jaccard",
-    "x04_dedup_minhash_lsh", "x05_dedup_simhash", "x11_text_langid",
-    "x20_dedup_components", "x22_text_sentiment", "x56_chunk_dedup",
-    "x57_component_splits", "x58_weighted_sample", "e06_cross_join",
-    "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
-    "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
-    "g03_group_by_having", "g04_union_all", "g05_union_distinct",
+    # -- unchanged code, OLDEST official rows first: the 21-entry r09
+    # cohort (VERDICT r12 #3 — the stalest rows after the r8 cohort and
+    # the r9 head re-ran fresh in r12) ---------------------------------
     "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
     "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
     "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
     "g18_null_handling", "x33_contamination", "x03_dedup_survivors",
     "g19_window_topn", "g20_scalar_subquery", "g21_count_distinct",
     "g22_rollup", "q1_pricing_summary", "q3_shipping_priority",
-    # -- r10 rows (freshest: re-ran last round, code unchanged) ---------
+    # -- r10 rows (next-stalest; the ~50-row budget tail lands here —
+    # 29 above + the first ~21 of this block) ---------------------------
     "q5_local_supplier_volume", "g23_exists", "g24_derived_table",
     "g25_regexp", "g26_bit_shift", "g27_date_funcs", "g28_math_funcs",
     "g29_cube", "q4_order_priority", "q12_priority_class",
@@ -88,8 +71,8 @@ _DRIVER_ORDER = [
     "x39_vocab_oov", "x40_curation_pipeline", "x41_domain_mix",
     "x42_length_histogram", "x43_bigram_rarity", "x45_split_assignment",
     "s07_stream_static_enrich", "x09_text_token_stats",
-    # -- r11 rows (freshest: re-ran last round, code unchanged since —
-    # the r7 cohort, the r8 head, and q21's first official row) ---------
+    # -- r11 rows (the r7 cohort, the r8 head, and q21's first official
+    # row — code unchanged since) ---------------------------------------
     "x10_text_quality", "x12_text_fingerprint", "x13_events_json",
     "x14_sessionize_batch", "x15_window_tumbling_batch",
     "x17_text_bpe_tokens", "x21_salted_agg", "x23_hierarchical_rollup",
@@ -105,6 +88,23 @@ _DRIVER_ORDER = [
     "x31_embedding_centroid", "g32_array_funcs", "g33_window_frames",
     "g34_grouping_sets", "g35_pivot", "g36_not_in_subquery",
     "g37_intersect_except_all", "g38_cte_reuse", "q21_waiting_supplier",
+    # -- r12 rows (freshest: re-ran last round — the r8 cohort and the
+    # r9 head; code unchanged) -------------------------------------------
+    "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
+    "g42_values_inline", "g43_percentiles", "g44_ntile",
+    "g45_recursive_cte", "g46_full_outer", "g47_quantified_all",
+    "g48_semi_anti_join", "g49_grouping_id", "g50_rank_family",
+    "x50_stopword_stats", "x52_quality_stratified",
+    "x53_dup_cluster_stats", "x54_incremental_dedup", "e01_scan_project",
+    "e02_star", "e03_filter_comparisons", "e04_filter_andor_tree",
+    "e05_negative_literal",
+    "x29_sketch_profile", "x30_mergeable_distinct", "x02_dedup_ngram_jaccard",
+    "x04_dedup_minhash_lsh", "x05_dedup_simhash", "x11_text_langid",
+    "x20_dedup_components", "x22_text_sentiment", "x56_chunk_dedup",
+    "x57_component_splits", "x58_weighted_sample", "e06_cross_join",
+    "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
+    "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
+    "g03_group_by_having", "g04_union_all", "g05_union_distinct",
 ]
 
 

@@ -89,9 +89,11 @@ RUNS_OVERRIDE = {
     "x35_sequence_packing": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.42× on untouched code) — n=5 standing bracket
     "x38_containment": 5,
     "x43_bigram_rarity": 5,  # VERDICT r9 #3: 1.42× n=3 spread in the driver run — n=5
+    "x51_span_dups": 5,  # VERDICT r12 #2: largest unexplained r12 driver drift (1.008 s vs its 0.58–0.76 cross-round family, 1.67×) cleared only by judge-side certified evidence — standing bracket so adjudication lives in the record
     "x56_chunk_dedup": 5,  # VERDICT r5 #5: 0.46→0.80 s driver drift on untouched code — n=5 decides noise vs real
     "x58_weighted_sample": 5,  # VERDICT r9 #3: 1.77× n=3 spread in the driver run — n=5
     "x59_semantic_dedup": 5,
+    "s01_stream_tumbling": 5,  # VERDICT r12 #2: bounced 1.0–1.7 s across r7–r12 with no bracket — micro-batch startup jitter needs n=5 to tell noise from regression
 }
 
 # Contention canary (VERDICT r5 #1): the official BENCH number has
@@ -127,6 +129,36 @@ def slot_contended(spread: dict, n_by_query: dict) -> dict:
         for name, (mn, mx) in spread.items()
         if n_by_query.get(name, 0) >= 5 and mx / max(mn, 1e-9) > SLOT_SPREAD_LINE
     }
+
+
+def solo_recheck(flagged, run_fn, n: int = 5) -> dict:
+    """Resolution arm of the slot-contention flag (VERDICT r12 #1:
+    ``slot_contended()`` detects but does not resolve — every r12
+    incident needed a manual solo pass). Each flagged query is
+    re-measured SOLO after the main loop (nothing else has run for
+    minutes; the contending co-tenant burst has passed) with n runs,
+    and the solo bracket ships in BENCH_DETAIL["slot_recheck"] so
+    adjudication is in the record, not a post-hoc session.
+
+    ``resolved`` = the solo bracket's own spread is back under
+    SLOT_SPREAD_LINE — the in-window flag was slot contention and the
+    solo MEDIAN is the adjudicated reading. False means the spread
+    persists with the box quiet: a genuinely high-variance plan, which
+    is a code problem to investigate, not a measurement artifact.
+    ``run_fn(name) -> seconds`` is injected so the resolution logic is
+    unit-testable without a SparkSession."""
+    out = {}
+    for name in sorted(flagged):
+        runs = sorted(run_fn(name) for _ in range(n))
+        spread = round(runs[-1] / max(runs[0], 1e-9), 2)
+        out[name] = {
+            "median": round(statistics.median(runs), 3),
+            "bracket": [round(runs[0], 3), round(runs[-1], 3)],
+            "n": n,
+            "spread": spread,
+            "resolved": spread <= SLOT_SPREAD_LINE,
+        }
+    return out
 
 
 def _noop(df) -> None:
@@ -455,6 +487,20 @@ def main() -> None:
         if t2[4]["spread"] < canary["spread"]:
             timings, spread, warmup, n_by_query, canary = t2
 
+    # Slot-contention resolution (VERDICT r12 #1): any query whose own
+    # n≥5 bracket self-flagged gets an immediate solo re-measure — the
+    # main loop is over, so the slot's co-tenant burst (GC, page cache
+    # churn from a neighboring query) is gone; the solo bracket is the
+    # adjudication.
+    flags = slot_contended(spread, n_by_query)
+    recheck = {}
+    if flags:
+        print(f"# slot_contended {flags} — solo re-measuring", file=sys.stderr)
+        recheck = solo_recheck(
+            flags, lambda name: _run_once(matrix.QUERIES[name], spark, sf_dir)
+        )
+        print(f"# slot_recheck: {recheck}", file=sys.stderr)
+
     # ANN recall@10 vs the exact brute-force searcher, same sf.
     recall = _ann_recall(spark, sf_dir)
     print(f"# recall@10: {recall}", file=sys.stderr)
@@ -486,7 +532,8 @@ def main() -> None:
         # "certified" (VERDICT r10 #3) is stamped by emit() on BOTH the
         # contract line and this detail dict from ONE expression, so
         # the two records cannot drift (ADVICE r11).
-        "slot_contended": slot_contended(spread, n_by_query),
+        "slot_contended": flags,
+        "slot_recheck": recheck,
         "recall": recall,
         "scale_probe": scale_probe,
     }

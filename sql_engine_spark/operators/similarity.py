@@ -399,6 +399,10 @@ def _train_spherical_quantizer(
     under both orders is pinned in tests/test_wave5.py."""
     if sample_order not in ("id", "hash"):
         raise ValueError(f"sample_order must be 'id' or 'hash', got {sample_order!r}")
+    if train_max < 1:
+        # limit(0) would otherwise surface as an opaque numpy failure
+        # inside _lloyd_np (norm/choice on an empty matrix) — ADVICE r12.
+        raise ValueError(f"train_max must be >= 1, got {train_max}")
     base = (
         # NULL vectors carry no training signal and would crash the
         # numpy matrix build — the sample is the first train_max

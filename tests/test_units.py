@@ -441,34 +441,44 @@ def test_replica_scale_id_arithmetic_survives_x500(spark):
 
 def test_replica_scale_mutates_text_so_replicas_are_not_dups(spark):
     """Dedup-family curves need constant dup DENSITY as volume grows:
-    replicate_table's mutate_cols suffixes every token with the
-    replica index k (k>0 only — replica 0 is the original corpus), so
-    no shingle is shared across replicas and a banded/prefix-filtered
-    path sees k× volume at the same density. Verbatim clones would
-    instead multiply every doc's dup count by factor — the wrong
-    regime (bench._scale_probe's replicate() pins the same semantics
-    with per-frame literals; this is the exploded-column twin)."""
+    replicate_table's mutate_cols suffixes every token with ``_r{k}``
+    (k>0 only — replica 0 is the original corpus), so no shingle is
+    shared across replicas and a banded/prefix-filtered path sees k×
+    volume at the same density. Verbatim clones would instead multiply
+    every doc's dup count by factor — the wrong regime
+    (bench._scale_probe's replicate() pins the same semantics with
+    per-frame literals; this is the exploded-column twin). The ``_r``
+    separator (ADVICE r12) keeps a digit-suffixed BASE token from
+    colliding with a mutated one: under the old bare-digit suffix,
+    base 'alpha1' == replica 1's 'alpha'→'alpha1'."""
     from pyspark.sql import functions as F
 
     from tools.replica_scale import replicate_table
 
     base = spark.createDataFrame(
-        [(0, "alpha beta gamma"), (1, "delta epsilon")], "doc_id long, text string"
+        [(0, "alpha beta gamma"), (1, "delta alpha1")], "doc_id long, text string"
     )
     rep = replicate_table(base, 3, ["doc_id"], ["text"]).collect()
     texts = {r.doc_id: r.text for r in rep}
     assert len(texts) == 6
-    # Replica 0 is verbatim; replica k suffixes EVERY token with k.
+    # Replica 0 is verbatim; replica k suffixes EVERY token with _r{k}.
     assert texts[0] == "alpha beta gamma"
-    assert texts[10_000_000] == "alpha1 beta1 gamma1"
-    assert texts[20_000_000] == "alpha2 beta2 gamma2"
-    assert texts[1] == "delta epsilon"
-    assert texts[20_000_001] == "delta2 epsilon2"
+    assert texts[10_000_000] == "alpha_r1 beta_r1 gamma_r1"
+    assert texts[20_000_000] == "alpha_r2 beta_r2 gamma_r2"
+    assert texts[1] == "delta alpha1"
+    assert texts[20_000_001] == "delta_r2 alpha1_r2"
     # No token (shingle ingredient) is shared across replicas of the
     # same doc — replicas are mutually non-duplicate by construction.
     token_sets = [set(texts[k * 10_000_000].split()) for k in range(3)]
     assert not (token_sets[0] & token_sets[1])
     assert not (token_sets[1] & token_sets[2])
+    # The ADVICE r12 case: the corpus contains the digit-suffixed base
+    # token 'alpha1'. Under the old bare-digit suffix, doc 0's replica-1
+    # mutation of 'alpha' was ALSO 'alpha1' — a base↔replica shared
+    # token inflating cross-replica dup density. With the separator,
+    # NO token of base doc 1 appears anywhere in doc 0's replica set.
+    doc0_replica_tokens = set(texts[10_000_000].split()) | set(texts[20_000_000].split())
+    assert not (set(texts[1].split()) & doc0_replica_tokens)
 
 
 def test_replica_dir_routes_documents_through_mutation(spark, tmp_path):
@@ -496,12 +506,96 @@ def test_replica_dir_routes_documents_through_mutation(spark, tmp_path):
         r.doc_id: r.text
         for r in spark.read.parquet(os.path.join(out, "documents.parquet")).collect()
     }
-    assert texts[0] == "alpha beta" and texts[ID_OFFSET] == "alpha1 beta1"
-    assert texts[1] == "gamma delta" and texts[ID_OFFSET + 1] == "gamma1 delta1"
+    assert texts[0] == "alpha beta" and texts[ID_OFFSET] == "alpha_r1 beta_r1"
+    assert texts[1] == "gamma delta" and texts[ID_OFFSET + 1] == "gamma_r1 delta_r1"
     # Non-fact tables arrive as symlinks to the base corpus (zero copy).
     assert os.path.islink(os.path.join(out, "region.parquet"))
     # Tables absent from the base corpus are skipped, not erred on.
     assert not os.path.exists(os.path.join(out, "lineitem.parquet"))
+
+
+def test_replica_dir_symlinks_survive_relative_sf_dir(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a relative --sf-dir used to be symlinked verbatim,
+    so the link target resolved relative to the TEMPDIR out_dir —
+    a broken link and a confusing downstream read failure.
+    build_replica_dir now abspaths the source once at entry; the
+    symlinked table must be readable from the replica dir."""
+    import os
+
+    from tools.replica_scale import build_replica_dir
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(0, "AFRICA")], "r_regionkey long, r_name string").write.parquet(
+        str(src / "region.parquet")
+    )
+    monkeypatch.chdir(tmp_path)
+    out = build_replica_dir(spark, "src", 2, str(tmp_path / "deep" / "x2"), ())
+    link = os.path.join(out, "region.parquet")
+    assert os.path.islink(link) and os.path.exists(link)  # exists() follows the link
+    assert spark.read.parquet(link).count() == 1
+
+
+def test_replica_scale_rejects_ids_at_or_above_offset(spark):
+    """ADVICE r12: ID_OFFSET (10M) is pinned to the sf0.1 corpus, but
+    --sf-dir accepts any corpus — at sf10, l_orderkey reaches 60M and
+    replica keys would silently collide, corrupting join fanout and
+    the measured curve. replicate_table now verifies max(id) <
+    ID_OFFSET with one cheap agg and fails loudly."""
+    from pyspark.sql import functions as F
+
+    from tools.replica_scale import ID_OFFSET, replicate_table
+
+    bad = spark.range(2).select((F.col("id") + ID_OFFSET).alias("doc_id"))
+    with pytest.raises(ValueError, match="replica id collision"):
+        replicate_table(bad, 2, ["doc_id"])
+    # factor=1 never offsets, so oversized ids are fine there (identity).
+    assert replicate_table(bad, 1, ["doc_id"]).count() == 2
+    # Boundary: max == ID_OFFSET - 1 is the last legal corpus.
+    ok = spark.range(1).select(F.lit(ID_OFFSET - 1).cast("long").alias("doc_id"))
+    assert replicate_table(ok, 2, ["doc_id"]).count() == 2
+
+
+def test_solo_recheck_adjudicates_flagged_slots():
+    """The resolution arm of the slot-contention protocol (VERDICT r12
+    #1): every r12 flag (x18/x43 driver window, q1/x32 window E) needed
+    a manual solo pass — solo_recheck() is that pass, run by bench
+    itself after the main loop and recorded under
+    BENCH_DETAIL["slot_recheck"]. A solo bracket whose own spread is
+    back under SLOT_SPREAD_LINE adjudicates the flag as contention
+    (resolved=True, median is the reading); a persisting spread means
+    a genuinely high-variance plan (resolved=False)."""
+    import bench
+
+    seq = {
+        # contention case: solo runs are tight around 1.0
+        "x18": iter([1.02, 0.98, 1.05, 1.00, 1.01]),
+        # real-variance case: spread persists with the box quiet
+        "x43": iter([1.0, 2.0, 1.1, 1.9, 1.5]),
+    }
+    rec = bench.solo_recheck({"x18": 8.21, "x43": 1.53}, lambda n: next(seq[n]), n=5)
+    assert set(rec) == {"x18", "x43"}
+    assert rec["x18"]["resolved"] is True
+    assert rec["x18"]["median"] == 1.01
+    assert rec["x18"]["bracket"] == [0.98, 1.05]
+    assert rec["x18"]["n"] == 5 and rec["x18"]["spread"] == 1.07
+    assert rec["x43"]["resolved"] is False
+    assert rec["x43"]["spread"] == 2.0
+    # Empty flags → empty record, no runs consumed.
+    assert bench.solo_recheck({}, lambda n: 1 / 0) == {}
+
+
+def test_train_max_zero_raises_value_error():
+    """ADVICE r12: after the r12 None-test fix, train_max=0 meant
+    limit(0) → empty training matrix → an opaque numpy failure inside
+    _lloyd_np. The quantizer now rejects train_max < 1 loudly, for
+    every caller (ivf_ingest routes through it)."""
+    from sql_engine_spark.operators.similarity import _train_spherical_quantizer
+
+    with pytest.raises(ValueError, match="train_max must be >= 1"):
+        _train_spherical_quantizer(None, "id", "v", 4, 7, train_max=0)
+    with pytest.raises(ValueError, match="train_max must be >= 1"):
+        _train_spherical_quantizer(None, "id", "v", 4, 7, train_max=-5)
 
 
 def test_prefix_order_default_is_df():

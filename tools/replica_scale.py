@@ -25,7 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-# Replica id spacing: 10M clears every driver-corpus id at sf0.1.
+from bench import CANARY_QUERY  # noqa: E402 — one canary, shared with bench.py (ADVICE r12: a hardcoded twin would silently diverge if bench rotates it)
+
+# Replica id spacing: 10M clears every driver-corpus id at sf0.1 —
+# and replicate_table VERIFIES it (one cheap max() agg) rather than
+# trusting the comment: --sf-dir accepts any corpus, and at e.g. sf10
+# (l_orderkey up to 60M) silent key collisions would corrupt join
+# fanout and the measured curve with no error (ADVICE r12).
 ID_OFFSET = 10_000_000
 
 # Replica-key columns per table: only replica-LOCAL keys (fact↔fact
@@ -39,7 +45,7 @@ FACT_ID_COLS: dict[str, list[str]] = {
     "events": ["event_id"],
 }
 
-# Text columns mutated per replica (every token suffixed with k):
+# Text columns mutated per replica (every token suffixed with _r{k}):
 # dedup-family curves need mutually NON-duplicate replicas so dup
 # DENSITY stays constant while volume grows (bench._scale_probe's
 # semantics) — verbatim clones would multiply every doc's dup count
@@ -52,6 +58,8 @@ PROTOCOLS: dict[str, tuple[str, ...]] = {
     "q18_large_orders": ("orders", "lineitem"),
     "q21_waiting_supplier": ("orders", "lineitem"),
     "x02_dedup_ngram_jaccard": ("documents",),
+    "x04_dedup_minhash_lsh": ("documents",),  # VERDICT r12 #4
+    "x20_dedup_components": ("documents",),  # VERDICT r12 #4 (pair gen + CC)
     "x38_containment": ("documents",),
     "x54_incremental_dedup": ("documents",),
     "x18_sim_ivf": ("embeddings",),
@@ -66,12 +74,23 @@ def replicate_table(
     ``k * ID_OFFSET`` — both operands cast to long BEFORE the multiply
     (pinned at ×500: int32 ``k`` × ID_OFFSET throws under ANSI, k>214;
     explode() can't nest inside a cast, so the casts sit at the use
-    site). ``mutate_cols`` text gets every token suffixed with k (k>0)
-    so replicas are mutually non-duplicate (MUTATE_COLS rationale)."""
+    site). ``mutate_cols`` text gets every token suffixed with ``_r{k}``
+    (k>0) so replicas are mutually non-duplicate (MUTATE_COLS
+    rationale; the separator keeps a digit-suffixed base token like
+    ``alpha1`` from colliding with replica 1's mutated ``alpha`` —
+    ADVICE r12). Base ids must sit below ID_OFFSET — verified here,
+    not assumed (module comment)."""
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
     if factor == 1:
         return df
+    mx = df.agg(*[F.max(F.col(c).cast("long")).alias(c) for c in id_cols]).collect()[0]
+    for c in id_cols:
+        if mx[c] is not None and mx[c] >= ID_OFFSET:
+            raise ValueError(
+                f"replica id collision: max({c})={mx[c]} >= ID_OFFSET={ID_OFFSET} — "
+                "replica keys would overlap base ids; raise ID_OFFSET for this corpus"
+            )
     rep = df.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
     for c in id_cols:
         rep = rep.withColumn(
@@ -87,7 +106,7 @@ def replicate_table(
                 F.regexp_replace(
                     F.col(c),
                     F.lit(r"(\S+)"),
-                    F.concat(F.lit("$1"), F.col("__k").cast("string")),
+                    F.concat(F.lit("$1_r"), F.col("__k").cast("string")),
                 ),
             ).otherwise(F.col(c)),
         )
@@ -101,6 +120,10 @@ def build_replica_dir(
     ``factor``× replicas, every other table symlinked (zero copy)."""
     from sql_engine_spark.catalog import TABLES, load_table
 
+    # Symlink targets must survive any later cwd: a relative --sf-dir
+    # would otherwise resolve relative to the tempdir out_dir and
+    # produce broken links (ADVICE r12).
+    sf_dir = os.path.abspath(sf_dir)
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         src = os.path.join(sf_dir, f"{name}.parquet")
@@ -144,7 +167,7 @@ def run_curve(
 
     fn = matrix.QUERIES[query]
     facts = fact_tables if fact_tables is not None else PROTOCOLS[query]
-    canary = matrix.QUERIES["e08_distinct"]
+    canary = matrix.QUERIES[CANARY_QUERY]
 
     def canary_sample() -> float:
         return round(min(_time_once(canary, spark, sf_dir) for _ in range(2)), 3)
