@@ -585,6 +585,45 @@ def test_solo_recheck_adjudicates_flagged_slots():
     assert bench.solo_recheck({}, lambda n: 1 / 0) == {}
 
 
+def test_run_curve_absorbs_query_jit_before_first_point(spark, tmp_path, monkeypatch):
+    """r13: a canary-only session absorber left an x04 sweep's x1 point
+    reading 4.0 s min while its 5× point read 2.6 s — non-monotonic,
+    i.e. the first point measured the query's own first-call codegen,
+    not the plan (the driver_sim r12 absorber lesson, re-learned in the
+    curve tool). run_curve must run the QUERY once untimed on the base
+    dir before any point is timed, and ship that duration as
+    ``absorber`` in the record. Call accounting: with factors=[1],
+    runs=1 the query fn runs absorber + warmup + 1 = 3 times, and the
+    absorber call is the FIRST and targets the base sf_dir."""
+    import os
+
+    from sql_engine_spark import matrix
+    from tools import replica_scale as RS
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    ).write.parquet(str(src / "documents.parquet"))
+
+    calls = []
+
+    def fake_query(sp, sf_dir):
+        calls.append(os.path.abspath(sf_dir))
+        return sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    monkeypatch.setitem(matrix.QUERIES, "fake_curve_query", fake_query)
+    monkeypatch.setitem(
+        matrix.QUERIES, RS.CANARY_QUERY, lambda sp, d: sp.range(1)
+    )
+    curve = RS.run_curve(
+        spark, "fake_curve_query", [1], str(src), runs=1, fact_tables=("documents",)
+    )
+    assert curve["absorber"] >= 0 and calls[0] == os.path.abspath(str(src))
+    assert len(calls) == 3  # absorber + x1 warmup + x1 measured run
+    assert calls[1] != calls[0]  # points run on the replica dir, not base
+
+
 def test_train_max_zero_raises_value_error():
     """ADVICE r12: after the r12 None-test fix, train_max=0 meant
     limit(0) → empty training matrix → an opaque numpy failure inside

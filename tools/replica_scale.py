@@ -173,8 +173,17 @@ def run_curve(
         return round(min(_time_once(canary, spark, sf_dir) for _ in range(2)), 3)
 
     _time_once(canary, spark, sf_dir)  # absorb fresh-session JIT untimed
+    # Absorb the QUERY's own codegen/JIT too (driver_sim's r12 absorber
+    # lesson, re-learned here in r13: a canary-only absorber left an
+    # x04 sweep's first point reading 4.0 s min while the 5× point read
+    # 2.6 s — non-monotonic, i.e. the x1 point was measuring first-call
+    # classloading, not the plan). One untimed run on the BASE dir
+    # warms the plan without touching any replica point's cache state;
+    # its duration ships in the record for audit.
+    curve_absorber = round(_time_once(fn, spark, sf_dir), 3)
     base = tempfile.mkdtemp(prefix="replica_scale_")
     curve: dict = {"query": query, "sf_dir": sf_dir, "runs": runs, "points": {}}
+    curve["absorber"] = curve_absorber
     curve["canary_pre"] = canary_sample()
     try:
         for factor in factors:
