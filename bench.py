@@ -161,6 +161,21 @@ def solo_recheck(flagged, run_fn, n: int = 5) -> dict:
     return out
 
 
+def recheck_with_context(flagged, run_fn, canary_fn, n: int = 5) -> tuple:
+    """solo_recheck plus one min-of-2 canary sample taken right after
+    the rechecks (r13: window B's q1/x34 rechecks read resolved=False
+    with in-family medians because a sustained host burst SPANNED the
+    recheck — without canary context that record was ambiguous between
+    'recheck itself contended' and 'genuinely high-variance plan').
+    The sample ships as BENCH_DETAIL["slot_recheck_canary"]; a
+    resolved=False whose recheck canary sits well above the clean
+    floor adjudicates as a contended recheck, to be re-read in the
+    next clean window. None when nothing was flagged."""
+    rec = solo_recheck(flagged, run_fn, n)
+    canary = round(min(canary_fn() for _ in range(2)), 3) if rec else None
+    return rec, canary
+
+
 def _noop(df) -> None:
     """Materialize every output column via a noop-format write — the
     shared measured action for probes."""
@@ -493,13 +508,17 @@ def main() -> None:
     # churn from a neighboring query) is gone; the solo bracket is the
     # adjudication.
     flags = slot_contended(spread, n_by_query)
-    recheck = {}
+    recheck, recheck_canary = {}, None
     if flags:
         print(f"# slot_contended {flags} — solo re-measuring", file=sys.stderr)
-        recheck = solo_recheck(
-            flags, lambda name: _run_once(matrix.QUERIES[name], spark, sf_dir)
+        recheck, recheck_canary = recheck_with_context(
+            flags,
+            lambda name: _run_once(matrix.QUERIES[name], spark, sf_dir),
+            lambda: _run_once(matrix.QUERIES[CANARY_QUERY], spark, sf_dir),
         )
-        print(f"# slot_recheck: {recheck}", file=sys.stderr)
+        print(
+            f"# slot_recheck (canary {recheck_canary}): {recheck}", file=sys.stderr
+        )
 
     # ANN recall@10 vs the exact brute-force searcher, same sf.
     recall = _ann_recall(spark, sf_dir)
@@ -534,6 +553,7 @@ def main() -> None:
         # the two records cannot drift (ADVICE r11).
         "slot_contended": flags,
         "slot_recheck": recheck,
+        "slot_recheck_canary": recheck_canary,
         "recall": recall,
         "scale_probe": scale_probe,
     }

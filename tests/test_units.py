@@ -585,6 +585,33 @@ def test_solo_recheck_adjudicates_flagged_slots():
     assert bench.solo_recheck({}, lambda n: 1 / 0) == {}
 
 
+def test_recheck_with_context_samples_canary_after_rechecks():
+    """r13: window B's q1/x34 solo rechecks read resolved=False with
+    in-family medians because the host burst SPANNED the recheck —
+    ambiguous without canary context. recheck_with_context runs the
+    rechecks, then ONE min-of-2 canary sample, and ships both; the
+    canary must run AFTER the last recheck (it contextualizes the
+    recheck period, not the main loop) and not at all when nothing
+    was flagged."""
+    import bench
+
+    order = []
+
+    def run_fn(name):
+        order.append(name)
+        return 1.0
+
+    def canary_fn():
+        order.append("canary")
+        return 0.18
+
+    rec, canary = bench.recheck_with_context({"q1": 1.58}, run_fn, canary_fn, n=3)
+    assert rec["q1"]["resolved"] is True and canary == 0.18
+    assert order == ["q1"] * 3 + ["canary"] * 2  # canary strictly after
+    # No flags → no recheck, no canary runs consumed.
+    assert bench.recheck_with_context({}, run_fn, lambda: 1 / 0) == ({}, None)
+
+
 def test_run_curve_absorbs_query_jit_before_first_point(spark, tmp_path, monkeypatch):
     """r13: a canary-only session absorber left an x04 sweep's x1 point
     reading 4.0 s min while its 5× point read 2.6 s — non-monotonic,
