@@ -76,6 +76,8 @@ BENCH_QUERIES = [
 RUNS_OVERRIDE = {
     "q1_pricing_summary": 5,  # VERDICT r8 #3: drifted to 0.736 [0.599,0.851] on untouched code (r7 0.443) — n=5 certifies drift vs regression
     "q3_shipping_priority": 5,  # VERDICT r11 #1: the r11 driver's CERTIFIED (canary 1.02) window read q3 at median 1.22 s — 1.62× r10 and 1.6× the builder's same-HEAD certified window [0.661, 0.803] on untouched code. A single-query canary certifies the window, not each query's moment; q3 was the only flagship of its cost class without a standing n=5 bracket.
+    "q4_order_priority": 5,  # r13 window D: 1.278 [1.146, 1.802] inside a CERTIFIED (canary 1.16) window vs 0.645 solo minutes later — same I/O burst as q5 below; n=5 makes the slot flag-eligible
+    "q5_local_supplier_volume": 5,  # r13 window D: the largest certified-window drift on record — 6.283 [4.816, 7.218] (5.7× its 1.1–1.8 family) while the CPU-bound canary sat at its 0.164–0.190 floor; solo re-measure minutes later read 1.203 [1.171, 1.477]. An I/O-side burst the JVM canary is blind to hits the shuffle-heaviest 6-table join hardest; at n=3 the slot was ineligible for slot_contended() and shipped unflagged. n=5 closes that eligibility gap.
     "q18_large_orders": 5,  # VERDICT r7 #4: most spread-prone flagship ([0.897,1.309] at n=3) — n=5 settles noise vs regression
     "q21_waiting_supplier": 5,  # joined the set r11 — n=5 for a solid first standing bracket (the x18 precedent)
     "x06_sim_topk_brute": 5,  # VERDICT r9 #3: 1.70× n=3 spread in the driver run — n=5
