@@ -262,8 +262,13 @@ def ordered_shingle_index(sh: DataFrame) -> DataFrame:
     def build() -> DataFrame:
         toks = sh.select("id", "sz", F.explode("sh").alias("s"))
         freq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("freq"))
+        # freq is the DISTINCT-shingle table — corpus-scaled, yet two
+        # long columns compress far under any broadcast threshold.
+        # Pinned shuffle-hash (freq as per-partition build side): never
+        # driver-broadcast (the 125× replica OOM class), and no sort of
+        # the much larger exploded toks side.
         return (
-            toks.join(freq, "s")
+            toks.join(freq.hint("shuffle_hash"), "s")
             .groupBy("id", "sz")
             # array_sort on struct compares fields in order → (freq, s)
             # ascending = rarest-first with a deterministic hash tiebreak.
@@ -276,11 +281,19 @@ def ordered_shingle_index(sh: DataFrame) -> DataFrame:
 
 def _verify_pairs_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs: fetch both
-    distinct-shingle arrays, |∩| via array_intersect. Two hash joins on
-    the id — small relative to candidate generation."""
+    distinct-shingle arrays, |∩| via array_intersect. Both joins are
+    pinned sort-merge: EVERY side here scales with the corpus (cands
+    is the candidate pair set, a/b carry the full shingle arrays), so
+    none may ever broadcast — highly repetitive pair/array columns
+    compress far below their in-memory size, and at a 125× sf0.1
+    replica AQE's compressed-bytes estimate slipped a corpus-scaled
+    side under the 64 MB session threshold and killed the driver with
+    "Not enough memory to build and broadcast" (r13; same class on the
+    containment/incremental twins). SMJ on the long id key is
+    executor-side and spillable at any scale."""
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
-    j = cands.join(a, "id_a").join(b, "id_b")
+    j = cands.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (
@@ -370,9 +383,15 @@ def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> Data
     # overlap at most min(|A|−p_a, |B|−p_b) — prune below α.
     alpha = _alpha(F.col("a.sz"), F.col("b.sz"), threshold)
     ubound = F.least(F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p"))
+    # Pinned shuffle-hash on the shingle key: BOTH sides are the
+    # exploded corpus prefix table — never broadcastable at scale (the
+    # 125× replica OOM class; _verify_pairs_jaccard rationale). Hash,
+    # not merge: rows are a handful of longs (cheap per-partition
+    # build), and a merge pin would force a full sort of both exploded
+    # sides — measured 1.7× slower on the containment twin at 125×.
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: J ≥ t requires t·max(|A|,|B|) ≤ min(|A|,|B|)
@@ -539,8 +558,12 @@ def minhash_lsh_pairs(
     )
     a, b_ = ex.alias("a"), ex.alias("b")
     cands = (
+        # Pinned shuffle-hash: the banded-signature self-join's sides
+        # are both the full corpus's band keys — never broadcastable at
+        # scale (the 125× replica OOM class); hash not merge per the
+        # _candidate_pairs rationale.
         a.join(
-            b_,
+            b_.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
@@ -637,8 +660,11 @@ def banded_hamming_pairs(
         term = F.bit_count(F.col(f"a.band{i}").bitwiseXOR(F.col(f"b.band{i}")))
         ham = term if ham is None else ham + term
     return (
+        # Pinned shuffle-hash: both sides are the full corpus's exploded
+        # band rows — never broadcastable at scale (the 125× replica
+        # OOM class); hash not merge per the _candidate_pairs rationale.
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.b_idx") == F.col("b.b_idx"))
             & (F.col("a.b_val") == F.col("b.b_val"))
             & (F.col("a.id") < F.col("b.id")),

@@ -323,9 +323,12 @@ def containment_pairs(
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # Verify joins pinned sort-merge: cands and both array sides scale
+    # with the corpus, so none may broadcast (dedup._verify_pairs_jaccard
+    # rationale — the 125× replica OOM class).
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .withColumn("__inter", inter.cast("long"))
         .filter((F.col("__inter") * 1_000_000 >= F.col("sz_a") * num) & (F.col("sz_a") > 0))
         .select(
@@ -373,8 +376,13 @@ def _containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         F.posexplode("osh").alias("pb", "s"),
     )
     k_a = D._ceil_frac(F.col("psz_a"), threshold)
+    # Pinned shuffle-hash with the (much smaller) prefix side as build:
+    # both exploded sides are corpus-scaled — never broadcastable at
+    # scale (the 125× replica OOM class) — and a merge pin here forced
+    # a full sort of the 60M-row exploded index side, measured 1.7×
+    # slower at 125× than hash-building the prefix rows per partition.
     return (
-        pref.join(
+        pref.hint("shuffle_hash").join(
             inv,
             (pref["s"] == inv["s"])
             & (F.col("id_a") != F.col("id_b"))
@@ -910,7 +918,12 @@ def incremental_jaccard_pairs(
     )
     alpha = D._alpha(F.col("sz_new"), F.col("sz_old"), threshold)
     cands = (
-        pref.join(
+        # Pinned shuffle-hash with the (smaller, 10%-of-corpus) batch
+        # prefix side as build: the batch here is NOT a trigger-bounded
+        # micro-batch, so both exploded sides scale with the corpus —
+        # never broadcastable (the 125× replica OOM class); hash not
+        # merge per the containment-candidates rationale.
+        pref.hint("shuffle_hash").join(
             inv,
             (pref["s"] == inv["s"])
             # length filter both ways: t·|A| ≤ |B| AND t·|B| ≤ |A|
@@ -924,7 +937,10 @@ def incremental_jaccard_pairs(
     )
     a = sh.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_old"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
-    j = cands.join(a, "id_new").join(b, "id_old")
+    # Pinned sort-merge: both batch (10% of corpus) and corpus array
+    # sides are corpus-scaled — never broadcastable (the 125× replica
+    # OOM class; dedup._verify_pairs_jaccard rationale).
+    j = cands.join(a.hint("merge"), "id_new").join(b.hint("merge"), "id_old")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (
@@ -1224,7 +1240,11 @@ def incremental_pairs_vs_corpus(
     b = sh_old.select(
         F.col("id").alias("id_old"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
     )
-    j = cands.join(a, "id_new").join(b, "id_old")
+    # The corpus side is pinned sort-merge (never broadcastable — the
+    # 125× replica OOM class); the NEW side stays unhinted on purpose:
+    # a micro-batch is trigger-bounded, and broadcasting it is the
+    # intended streaming-ingest plan.
+    j = cands.join(a, "id_new").join(b.hint("merge"), "id_old")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (

@@ -547,3 +547,21 @@ def test_q21_semi_anti_shape_no_cartesian(spark, sf_dir):
         "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:timestamp_ntz>"
         in fmt
     )
+
+
+def test_dedup_corpus_joins_never_broadcast(spark, sf_dir):
+    """The 125× replica incident (r13): every side of the dedup verify
+    joins and the df-frequency join scales with the corpus, yet their
+    repetitive long/array columns compress so well that AQE's
+    compressed-bytes estimate slipped one under the 64 MB session
+    broadcast threshold and killed the driver with a broadcast-build
+    OOM. The joins are now strategy-pinned (merge / shuffle_hash) —
+    these assertions keep the static plans broadcast-free so the pin
+    cannot silently regress. (The containment/incremental candidate
+    probes join exploded prefix/index sides big enough that Catalyst
+    never flips them; the pins cover the sides it did and could.)"""
+    for q in ("x02_dedup_ngram_jaccard", "x38_containment", "x54_incremental_dedup"):
+        plan = _plan(matrix.QUERIES[q](spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan, q
+        assert "SortMergeJoin" in plan, q
+        assert "ShuffledHashJoin" in plan, q  # freq join, build side freq
