@@ -323,12 +323,17 @@ def containment_pairs(
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    # Verify joins pinned sort-merge: cands and both array sides scale
-    # with the corpus, so none may broadcast (dedup._verify_pairs_jaccard
-    # rationale — the 125× replica OOM class).
+    # Verify joins pinned shuffle-hash, build sides chosen so the fat
+    # array-carrying stream is NEVER sorted: join 1 builds the narrow
+    # candidate pairs, join 2 builds the per-partition-bounded array
+    # side and streams the wide intermediate. A merge pin here sorted
+    # the ~46 GB pairs×arrays intermediate at the 125× point and went
+    # super-linear (180 s vs ~25 s for the Jaccard twin); broadcast
+    # stays forbidden either way (the 125× replica OOM class —
+    # dedup._verify_pairs_jaccard rationale).
     return (
-        cands.join(a.hint("merge"), "id_a")
-        .join(b.hint("merge"), "id_b")
+        cands.hint("shuffle_hash").join(a, "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .withColumn("__inter", inter.cast("long"))
         .filter((F.col("__inter") * 1_000_000 >= F.col("sz_a") * num) & (F.col("sz_a") > 0))
         .select(
@@ -937,10 +942,11 @@ def incremental_jaccard_pairs(
     )
     a = sh.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_old"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
-    # Pinned sort-merge: both batch (10% of corpus) and corpus array
-    # sides are corpus-scaled — never broadcastable (the 125× replica
-    # OOM class; dedup._verify_pairs_jaccard rationale).
-    j = cands.join(a.hint("merge"), "id_new").join(b.hint("merge"), "id_old")
+    # Pinned shuffle-hash (build: narrow pairs, then the array side —
+    # the fat stream is never sorted): both batch (10% of corpus) and
+    # corpus array sides are corpus-scaled — never broadcastable (the
+    # 125× replica OOM class; dedup._verify_pairs_jaccard rationale).
+    j = cands.hint("shuffle_hash").join(a, "id_new").join(b.hint("shuffle_hash"), "id_old")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (
@@ -1240,11 +1246,12 @@ def incremental_pairs_vs_corpus(
     b = sh_old.select(
         F.col("id").alias("id_old"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
     )
-    # The corpus side is pinned sort-merge (never broadcastable — the
-    # 125× replica OOM class); the NEW side stays unhinted on purpose:
+    # The corpus side is pinned shuffle-hash (never broadcastable — the
+    # 125× replica OOM class; build = per-partition-bounded arrays, the
+    # fat stream never sorted); the NEW side stays unhinted on purpose:
     # a micro-batch is trigger-bounded, and broadcasting it is the
     # intended streaming-ingest plan.
-    j = cands.join(a, "id_new").join(b.hint("merge"), "id_old")
+    j = cands.join(a, "id_new").join(b.hint("shuffle_hash"), "id_old")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (

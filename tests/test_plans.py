@@ -555,13 +555,12 @@ def test_dedup_corpus_joins_never_broadcast(spark, sf_dir):
     repetitive long/array columns compress so well that AQE's
     compressed-bytes estimate slipped one under the 64 MB session
     broadcast threshold and killed the driver with a broadcast-build
-    OOM. The joins are now strategy-pinned (merge / shuffle_hash) —
-    these assertions keep the static plans broadcast-free so the pin
-    cannot silently regress. (The containment/incremental candidate
-    probes join exploded prefix/index sides big enough that Catalyst
-    never flips them; the pins cover the sides it did and could.)"""
+    OOM. Every such join is now pinned shuffle-hash with a chosen
+    build side (narrow pairs / per-partition-bounded arrays — a merge
+    pin sorted the fat pairs×arrays intermediate and went 3×
+    super-linear at 125×) — these assertions keep the static plans
+    broadcast-free so the pin cannot silently regress."""
     for q in ("x02_dedup_ngram_jaccard", "x38_containment", "x54_incremental_dedup"):
         plan = _plan(matrix.QUERIES[q](spark, sf_dir))
         assert "BroadcastHashJoin" not in plan, q
-        assert "SortMergeJoin" in plan, q
-        assert "ShuffledHashJoin" in plan, q  # freq join, build side freq
+        assert "ShuffledHashJoin" in plan, q
