@@ -34,6 +34,15 @@ _DEFAULTS: dict[str, str] = {
     # supplier, part at small SF) broadcast; AQE upgrades more joins at
     # runtime from observed sizes.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # AQE's runtime broadcast upgrades judge a side by its COMPRESSED
+    # shuffle bytes, which under-read the in-memory hashed-relation size
+    # 5–30× for repetitive long/array columns — at a 125× sf0.1 dedup
+    # replica a corpus-scaled side slipped under the 64 MB line and the
+    # driver died in the broadcast build (r13). 8 MB compressed bounds
+    # the worst-case expansion near ~250 MB: genuinely tiny sides still
+    # upgrade at runtime, corpus-scaled ones cannot. Static planning
+    # keeps the 64 MB line above (file-size estimates are honest).
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects; read as long nanos and convert in the catalog

@@ -549,18 +549,27 @@ def test_q21_semi_anti_shape_no_cartesian(spark, sf_dir):
     )
 
 
-def test_dedup_corpus_joins_never_broadcast(spark, sf_dir):
-    """The 125× replica incident (r13): every side of the dedup verify
-    joins and the df-frequency join scales with the corpus, yet their
-    repetitive long/array columns compress so well that AQE's
-    compressed-bytes estimate slipped one under the 64 MB session
-    broadcast threshold and killed the driver with a broadcast-build
-    OOM. Every such join is now pinned shuffle-hash with a chosen
-    build side (narrow pairs / per-partition-bounded arrays — a merge
-    pin sorted the fat pairs×arrays intermediate and went 3×
-    super-linear at 125×) — these assertions keep the static plans
-    broadcast-free so the pin cannot silently regress."""
+def test_dedup_scale_broadcast_guards(spark, sf_dir):
+    """The 125× replica incident (r13): every side of the dedup
+    candidate/verify joins and the df-frequency join scales with the
+    corpus, yet Spark's estimates read them tiny — compressed file
+    size propagated through project/explode under-states in-memory
+    shingle state 10–50×, so BOTH the static planner and AQE's
+    compressed-bytes upgrade flipped corpus-scaled sides to driver
+    broadcasts at 125× (freq OOMed the driver; with pins removed the
+    static planner broadcast the verify arrays AND the full exploded
+    index, and OOMed again — estimates are structurally dishonest for
+    this family, so per-join pins are the only robust control). Every
+    such join is pinned shuffle-hash with a chosen build side (narrow
+    pairs / per-partition-bounded arrays; a merge pin sorted the fat
+    pairs×arrays intermediate and went 3× super-linear at 125×).
+    Defense in depth: the session also caps AQE runtime broadcast
+    upgrades at 8 MB compressed, bounding the expansion of any future
+    flip engine-wide; static 64 MB planning for honest file-backed
+    dims stays untouched."""
     for q in ("x02_dedup_ngram_jaccard", "x38_containment", "x54_incremental_dedup"):
         plan = _plan(matrix.QUERIES[q](spark, sf_dir))
         assert "BroadcastHashJoin" not in plan, q
         assert "ShuffledHashJoin" in plan, q
+    assert spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") == str(8 * 1024 * 1024)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(64 * 1024 * 1024)
