@@ -80,6 +80,8 @@ RUNS_OVERRIDE = {
     "q5_local_supplier_volume": 5,  # r13 window D: the largest certified-window drift on record — 6.283 [4.816, 7.218] (5.7× its 1.1–1.8 family) while the CPU-bound canary sat at its 0.164–0.190 floor; solo re-measure minutes later read 1.203 [1.171, 1.477]. An I/O-side burst the JVM canary is blind to hits the shuffle-heaviest 6-table join hardest; at n=3 the slot was ineligible for slot_contended() and shipped unflagged. n=5 closes that eligibility gap.
     "q18_large_orders": 5,  # VERDICT r7 #4: most spread-prone flagship ([0.897,1.309] at n=3) — n=5 settles noise vs regression
     "q21_waiting_supplier": 5,  # joined the set r11 — n=5 for a solid first standing bracket (the x18 precedent)
+    "x02_dedup_ngram_jaccard": 5,  # r13 join-strategy pins moved its family (1.5–1.9 → ~2.8–3.6); a standing bracket makes post-pin drift vs regression decidable
+    "x04_dedup_minhash_lsh": 5,  # r13 pins moved its family (1.5–1.6 → ~2.2–2.8) — standing bracket, same rationale as x02
     "x06_sim_topk_brute": 5,  # VERDICT r9 #3: 1.70× n=3 spread in the driver run — n=5
     "x12_text_fingerprint": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.24× on untouched code) — n=5 standing bracket
     "x14_sessionize_batch": 5,  # VERDICT r10 #4: canary-1.5 casualty (driver 1.34× on untouched code) — n=5 standing bracket
@@ -92,6 +94,7 @@ RUNS_OVERRIDE = {
     "x38_containment": 5,
     "x43_bigram_rarity": 5,  # VERDICT r9 #3: 1.42× n=3 spread in the driver run — n=5
     "x51_span_dups": 5,  # VERDICT r12 #2: largest unexplained r12 driver drift (1.008 s vs its 0.58–0.76 cross-round family, 1.67×) cleared only by judge-side certified evidence — standing bracket so adjudication lives in the record
+    "x54_incremental_dedup": 5,  # r13 pins moved its family (1.8–2.1 → window F 1.956 / window G 3.093 under host steal) — standing bracket decides the new level
     "x56_chunk_dedup": 5,  # VERDICT r5 #5: 0.46→0.80 s driver drift on untouched code — n=5 decides noise vs real
     "x58_weighted_sample": 5,  # VERDICT r9 #3: 1.77× n=3 spread in the driver run — n=5
     "x59_semantic_dedup": 5,
