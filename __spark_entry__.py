@@ -40,30 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # before anything that merely has an old row on unchanged code. Names
 # missing from the list (future additions) sort first of all.
 _DRIVER_ORDER = [
-    # -- r13 head: operators/similarity.py took the ADVICE-r12
-    # train_max>=1 guard — behavior-neutral, but policy is file-level:
-    # all eight similarity residents re-run, x18 first. -----------------
-    "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
-    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
-    "x48_multi_query_topk", "x49_knn_classify",
-    # -- unchanged code, OLDEST official rows first: the 21-entry r09
-    # cohort (VERDICT r12 #3 — the stalest rows after the r8 cohort and
-    # the r9 head re-ran fresh in r12) ---------------------------------
-    "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
-    "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
-    "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
-    "g18_null_handling", "x33_contamination", "x03_dedup_survivors",
-    "g19_window_topn", "g20_scalar_subquery", "g21_count_distinct",
-    "g22_rollup", "q1_pricing_summary", "q3_shipping_priority",
-    # -- r10 rows (next-stalest; the ~50-row budget tail lands here —
-    # 29 above + the first ~21 of this block) ---------------------------
-    "q5_local_supplier_volume", "g23_exists", "g24_derived_table",
-    "g25_regexp", "g26_bit_shift", "g27_date_funcs", "g28_math_funcs",
-    "g29_cube", "q4_order_priority", "q12_priority_class",
-    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
-    "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
-    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
-    "q17_small_quantity_revenue", "q8_market_share", "q15_top_supplier",
+    # -- r14 rotation (VERDICT r13 #6): no engine file changed ahead of
+    # this round's slice, so pure staleness order — the r13 driver run
+    # recorded the FIRST 50 of the r13 list (through q8_market_share);
+    # those 50 move to the bottom and the stalest-official-row cohort
+    # (the r10-row block tail from q15 on, then the r11-row block)
+    # leads. The ~50-row budget covers q15..x26 below. -------------------
+    "q15_top_supplier",
     "q22_sales_opportunity", "x01_dedup_exact", "s01_stream_tumbling",
     "s03_stream_sliding", "s04_stream_dedup", "s05_stream_session_window",
     "s02_stream_sessionize", "s06_stream_interval_join", "x34_tfidf_topterms",
@@ -88,8 +71,7 @@ _DRIVER_ORDER = [
     "x31_embedding_centroid", "g32_array_funcs", "g33_window_frames",
     "g34_grouping_sets", "g35_pivot", "g36_not_in_subquery",
     "g37_intersect_except_all", "g38_cte_reuse", "q21_waiting_supplier",
-    # -- r12 rows (freshest: re-ran last round — the r8 cohort and the
-    # r9 head; code unchanged) -------------------------------------------
+    # -- r12 rows (the r8 cohort and the r9 head; code unchanged) --------
     "g39_lateral_explode", "g40_qualify_topn", "g41_string_agg",
     "g42_values_inline", "g43_percentiles", "g44_ntile",
     "g45_recursive_cte", "g46_full_outer", "g47_quantified_all",
@@ -105,6 +87,24 @@ _DRIVER_ORDER = [
     "e07_implicit_equi_join", "e08_distinct", "e09_aggregates",
     "e10_agg_after_where", "g01_order_by_limit", "g02_limit_offset",
     "g03_group_by_having", "g04_union_all", "g05_union_distinct",
+    # -- r13 rows (freshest: the driver's r13 slice — similarity
+    # residents, the r9-stale Tier-G cohort, the flagships, x03/x33) -----
+    "x18_sim_ivf", "x59_semantic_dedup", "x60_kmeans_refine",
+    "x06_sim_topk_brute", "x07_sim_ann_lsh", "x08_sim_dup_pairs",
+    "x48_multi_query_topk", "x49_knn_classify",
+    "g06_intersect", "g07_except", "g08_join_explicit_agg", "g09_join_left",
+    "g10_natural_join", "g11_between_in", "g12_in_subquery", "g13_not_exists",
+    "g14_like", "g15_case_cast", "g16_arithmetic", "g17_string_funcs",
+    "g18_null_handling", "x33_contamination", "x03_dedup_survivors",
+    "g19_window_topn", "g20_scalar_subquery", "g21_count_distinct",
+    "g22_rollup", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "g23_exists", "g24_derived_table",
+    "g25_regexp", "g26_bit_shift", "g27_date_funcs", "g28_math_funcs",
+    "g29_cube", "q4_order_priority", "q12_priority_class",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
+    "g30_stats_exact", "q10_returned_revenue", "g31_correlated_scalar",
+    "q6_forecast_revenue", "q7_nation_volume", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q8_market_share",
 ]
 
 

@@ -567,7 +567,16 @@ def test_dedup_scale_broadcast_guards(spark, sf_dir):
     upgrades at 8 MB compressed, bounding the expansion of any future
     flip engine-wide; static 64 MB planning for honest file-backed
     dims stays untouched."""
-    for q in ("x02_dedup_ngram_jaccard", "x38_containment", "x54_incremental_dedup"):
+    # x04/x05 joined the loop in r14 (ADVICE r13): minhash_lsh_pairs and
+    # banded_hamming_pairs carry the same pins, and a dropped hint there
+    # would regress to broadcast/sort-merge with no other test noticing.
+    for q in (
+        "x02_dedup_ngram_jaccard",
+        "x04_dedup_minhash_lsh",
+        "x05_dedup_simhash",
+        "x38_containment",
+        "x54_incremental_dedup",
+    ):
         plan = _plan(matrix.QUERIES[q](spark, sf_dir))
         assert "BroadcastHashJoin" not in plan, q
         assert "ShuffledHashJoin" in plan, q
