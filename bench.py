@@ -101,6 +101,31 @@ RUNS_OVERRIDE = {
     "s01_stream_tumbling": 5,  # VERDICT r12 #2: bounced 1.0–1.7 s across r7–r12 with no bracket — micro-batch startup jitter needs n=5 to tell noise from regression
 }
 
+# Standing per-query ceilings (seconds, sf0.1): evaluated against the
+# MEDIAN of a CERTIFIED window at the slot's RUNS_OVERRIDE n. The
+# adjudication rule every ceiling shares (SCALE.md): a certified median
+# above its ceiling with the slot's own intra-spread ≤ 1.35× is a real
+# regression; above 1.35× the slot self-flags and the solo recheck
+# adjudicates. History and rationale live in BASELINE.md (x18/x29/x32/
+# x33/x56/x59/q21 r7–r12) and SCALE.md "Join-strategy pins" (x38's
+# 3.0→4.0 refresh r13; the post-pin x02/x04/x54 ceilings NEW r14 —
+# priced from certified windows F/G: pinned shuffle-hash builds cost
+# ~2× the broadcast plans they replaced, and those plans die at 125×).
+TARGETS = {
+    "q21_waiting_supplier": 1.5,
+    "x02_dedup_ngram_jaccard": 4.0,  # r14: F 3.480 [3.190, 3.706]; G 3.878 solo
+    "x04_dedup_minhash_lsh": 3.2,  # r14: F 2.774 [2.215, 2.868]
+    "x18_sim_ivf": 1.1,
+    "x29_sketch_profile": 1.9,
+    "x32_multimodal_decode": 0.6,
+    "x33_contamination": 1.25,
+    "x38_containment": 4.0,
+    "x54_incremental_dedup": 3.5,  # r14: F 1.956 clean; G 3.093 was host steal
+    "x56_chunk_dedup": 0.65,
+    "x59_semantic_dedup": 1.5,
+}
+
+
 # Contention canary (VERDICT r5 #1): the official BENCH number has
 # moved for non-code reasons (box contention inflating untouched
 # JVM-only plans 15–85%). A fixed JVM-only query — e08's DISTINCT
@@ -179,6 +204,28 @@ def recheck_with_context(flagged, run_fn, canary_fn, n: int = 5) -> tuple:
     rec = solo_recheck(flagged, run_fn, n)
     canary = round(min(canary_fn() for _ in range(2)), 3) if rec else None
     return rec, canary
+
+
+def _py_canary_once(spark) -> float:
+    """Steal-sensitive canary probe (VERDICT r13 #1c): one tiny
+    mapInPandas stage over 32 trivial partitions. The JVM-only e08
+    canary is a hot codegen loop — structurally blind to the cost
+    classes behind every unexplained certified-window reading on
+    record (q5's I/O burst r13-D; the window-C x-family inflation;
+    s01's 2.9 s r13 driver reading that re-read 1.375 in-bracket on
+    the same HEAD): Python worker spin-up, per-task scheduling of
+    many tiny tasks, and fork/exec page-cache pressure. This probe
+    pays exactly those costs and ~nothing else, so a window where
+    e08 sits at its floor while this spread blows out is adjudicated
+    as host steal on the non-JVM path, not regression. Recorded as
+    context in BENCH_DETAIL (canary.py_samples/py_spread and beside
+    each solo recheck); e08 remains the sole certification gate until
+    this probe has a cross-round floor to set a clean line against."""
+    t0 = time.perf_counter()
+    spark.range(0, 256, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def _noop(df) -> None:
@@ -445,7 +492,11 @@ def _measure(spark, sf_dir: str, n_runs: int):
         # a single GC blip — one 50 ms pause must not flag a clean run.
         return round(min(_run_once(canary_fn, spark, sf_dir) for _ in range(2)), 3)
 
+    def py_canary_sample() -> float:
+        return round(min(_py_canary_once(spark) for _ in range(2)), 3)
+
     samples = [canary_sample()]
+    py_samples = [py_canary_sample()]
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     warmup: dict[str, float] = {}
@@ -454,6 +505,7 @@ def _measure(spark, sf_dir: str, n_runs: int):
     for i, name in enumerate(BENCH_QUERIES):
         if i == mid:
             samples.append(canary_sample())
+            py_samples.append(py_canary_sample())
         fn = matrix.QUERIES[name]
         warmup[name] = round(_run_once(fn, spark, sf_dir), 3)
         n_q = max(n_runs, RUNS_OVERRIDE.get(name, 0))
@@ -467,10 +519,13 @@ def _measure(spark, sf_dir: str, n_runs: int):
             file=sys.stderr,
         )
     samples.append(canary_sample())
+    py_samples.append(py_canary_sample())
     canary = {
         "query": CANARY_QUERY,
         "samples": samples,
         "spread": round(max(samples) / max(min(samples), 1e-9), 2),
+        "py_samples": py_samples,
+        "py_spread": round(max(py_samples) / max(min(py_samples), 1e-9), 2),
     }
     print(f"# canary: {canary}", file=sys.stderr)
     return timings, spread, warmup, n_by_query, canary
@@ -513,7 +568,7 @@ def main() -> None:
     # churn from a neighboring query) is gone; the solo bracket is the
     # adjudication.
     flags = slot_contended(spread, n_by_query)
-    recheck, recheck_canary = {}, None
+    recheck, recheck_canary, recheck_py = {}, None, None
     if flags:
         print(f"# slot_contended {flags} — solo re-measuring", file=sys.stderr)
         recheck, recheck_canary = recheck_with_context(
@@ -521,8 +576,13 @@ def main() -> None:
             lambda name: _run_once(matrix.QUERIES[name], spark, sf_dir),
             lambda: _run_once(matrix.QUERIES[CANARY_QUERY], spark, sf_dir),
         )
+        # Steal-sensitive twin of the recheck canary: a resolved=False
+        # whose e08 context is clean but whose py context is inflated
+        # adjudicates as non-JVM-path steal (the s01-r13 class).
+        recheck_py = round(min(_py_canary_once(spark) for _ in range(2)), 3)
         print(
-            f"# slot_recheck (canary {recheck_canary}): {recheck}", file=sys.stderr
+            f"# slot_recheck (canary {recheck_canary}, py {recheck_py}): {recheck}",
+            file=sys.stderr,
         )
 
     # ANN recall@10 vs the exact brute-force searcher, same sf.
@@ -559,6 +619,25 @@ def main() -> None:
         "slot_contended": flags,
         "slot_recheck": recheck,
         "slot_recheck_canary": recheck_canary,
+        "slot_recheck_py_canary": recheck_py,
+        # Decidable-from-the-record target evaluation (VERDICT r13 #3):
+        # every standing ceiling with the measured median, its slot
+        # spread, and the flag state — a reader applies the 1.35× rule
+        # without cross-referencing BASELINE.md. Only meaningful on a
+        # certified window (emit stamps that verdict).
+        "targets": {
+            q: {
+                "ceiling": TARGETS[q],
+                "median": timings.get(q),
+                "over": timings.get(q, 0.0) > TARGETS[q],
+                "slot_spread": (
+                    round(spread[q][1] / max(spread[q][0], 1e-9), 2)
+                    if q in spread
+                    else None
+                ),
+            }
+            for q in sorted(TARGETS)
+        },
         "recall": recall,
         "scale_probe": scale_probe,
     }

@@ -556,6 +556,28 @@ def test_replica_scale_rejects_ids_at_or_above_offset(spark):
     assert replicate_table(ok, 2, ["doc_id"]).count() == 2
 
 
+def test_bench_standing_targets_are_evaluable():
+    """Standing ceilings (VERDICT r13 #3) must be decidable from the
+    record: every TARGETS entry names a measured BENCH_QUERIES member
+    whose slot runs at n>=5 (the 1.35x intra-spread adjudication rule
+    is a coin flip below that), and the three repinned dedup entries
+    carry the new post-pin ceilings so their drift is target-evaluable
+    from r14 on."""
+    import bench
+
+    for q, ceiling in bench.TARGETS.items():
+        assert q in bench.BENCH_QUERIES, q
+        assert bench.RUNS_OVERRIDE.get(q, 0) >= 5, f"{q}: targets need n>=5"
+        assert ceiling > 0
+    for q in (
+        "x02_dedup_ngram_jaccard",
+        "x04_dedup_minhash_lsh",
+        "x54_incremental_dedup",
+        "x38_containment",
+    ):
+        assert q in bench.TARGETS
+
+
 def test_solo_recheck_adjudicates_flagged_slots():
     """The resolution arm of the slot-contention protocol (VERDICT r12
     #1): every r12 flag (x18/x43 driver window, q1/x32 window E) needed
