@@ -87,6 +87,71 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+# --- corpus-scaled shuffle partitioning for the pinned hash joins ---
+# A ShuffledHashJoin build side is per-partition and does NOT spill:
+# per-task build memory = build_side_size / shuffle_partitions, so
+# with a FIXED partition count every corpus-scaled build side
+# eventually hits the execution-memory wall no matter how carefully
+# the build side was chosen. Measured (r14): the r13 pins that survive
+# a 125× sf0.1 replica (625k docs) died at 250× (1.25M docs) with
+# "Can't acquire 134217728 bytes memory to build hash relation" at the
+# session's 32 partitions — the per-partition share of the candidate
+# pair / prefix / freq relations doubled past the pool. The honest
+# control is the partition count itself: ONE shuffle partition per
+# ~1 MB of compressed source bytes keeps per-partition build state
+# roughly constant as the corpus grows (pair/prefix/freq row counts
+# all scale ~linearly with corpus bytes at constant dup density). The
+# session conf stays the FLOOR: every corpus under ~conf MB — all
+# three driver sfs — keeps byte-identical plans, and a real cluster's
+# deployment rule (shuffle partitions ~2–3× total cores, SCALE.md
+# "SHJ operating envelope") dominates until the corpus outgrows it,
+# at which point this rule adds exactly the headroom the no-spill
+# build needs. Derived from pure driver-side file metadata — no job.
+_JOIN_PARTITION_INPUT_BYTES = 1 << 20
+
+
+def _input_bytes(df: DataFrame) -> "int | None":
+    """Total bytes of the file-backed inputs under ``df``'s plan (pure
+    metadata). None for non-file / remote / unstatable inputs — there
+    the cluster-sized session conf is the sizing rule. A PERSISTED
+    plan reports no input files (the cache relation hides the scan),
+    so ``_memo_persist`` stamps the source's byte count on every
+    memoized artifact and that annotation wins here."""
+    cached = getattr(df, "_corpus_input_bytes", None)
+    if cached is not None:
+        return cached
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            total += os.path.getsize(uri[len("file:"):] if uri.startswith("file:") else uri)
+        return total
+    except Exception:
+        return None
+
+
+def scaled_join_partitions(df: DataFrame) -> "int | None":
+    """Partition count for the pinned corpus-scaled hash joins, or
+    None when the session conf already bounds the per-partition build
+    (small corpus: the plan stays byte-identical)."""
+    total = _input_bytes(df)
+    if total is None:
+        return None
+    try:
+        conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return None
+    n = total // _JOIN_PARTITION_INPUT_BYTES
+    return int(n) if n > conf else None
+
+
+def _cluster(df: DataFrame, n: "int | None", *cols: str) -> DataFrame:
+    """Pre-cluster one side of a pinned join at the scaled partition
+    count. REPARTITION_BY_NUM on the join keys SATISFIES the join's
+    clustering requirement, so this replaces — never adds to — the
+    exchange the join would insert; with n None the plan is untouched."""
+    return df.repartition(n, *cols) if n else df
+
+
 # Persisted shingle-index memo, keyed by (session, input-plan semantic
 # hash, id_col, text_col, n). At 100 TB the shingle index is the
 # artifact you materialize ONCE and feed to every near-dup operator
@@ -129,6 +194,11 @@ def _memo_persist(memo: dict, extra_key: tuple, df: DataFrame, build) -> DataFra
     if key is not None and key in memo:
         return memo[key]
     out = build().persist(StorageLevel.MEMORY_AND_DISK)
+    # Persisting hides the file scan from inputFiles(), so the join
+    # partition sizing (scaled_join_partitions) reads this stamp on
+    # memoized artifacts; an already-stamped input (index-of-index,
+    # e.g. ordered_shingle_index over shingle_index) passes through.
+    out._corpus_input_bytes = _input_bytes(df)
     if key is not None:
         memo[key] = out
     return out
@@ -260,15 +330,18 @@ def ordered_shingle_index(sh: DataFrame) -> DataFrame:
     index artifact you materialize once per corpus."""
 
     def build() -> DataFrame:
+        n_sc = scaled_join_partitions(sh)
         toks = sh.select("id", "sz", F.explode("sh").alias("s"))
         freq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("freq"))
         # freq is the DISTINCT-shingle table — corpus-scaled, yet two
         # long columns compress far under any broadcast threshold.
         # Pinned shuffle-hash (freq as per-partition build side): never
         # driver-broadcast (the 125× replica OOM class), and no sort of
-        # the much larger exploded toks side.
+        # the much larger exploded toks side; both sides clustered at
+        # the corpus-scaled count so the freq build never outgrows a
+        # partition (the 250× no-spill wall, _JOIN_PARTITION rationale).
         return (
-            toks.join(freq.hint("shuffle_hash"), "s")
+            _cluster(toks, n_sc, "s").join(_cluster(freq, n_sc, "s").hint("shuffle_hash"), "s")
             .groupBy("id", "sz")
             # array_sort on struct compares fields in order → (freq, s)
             # ascending = rarest-first with a deterministic hash tiebreak.
@@ -295,9 +368,14 @@ def _verify_pairs_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> 
     per-partition-bounded array side): a merge pin sorted the
     pairs×arrays intermediate and went 3× super-linear on the
     containment twin's 125× point."""
+    n_sc = scaled_join_partitions(sh)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
-    j = cands.hint("shuffle_hash").join(a, "id_a").join(b.hint("shuffle_hash"), "id_b")
+    j = (
+        _cluster(cands, n_sc, "id_a").hint("shuffle_hash")
+        .join(_cluster(a, n_sc, "id_a"), "id_a")
+        .join(_cluster(b, n_sc, "id_b").hint("shuffle_hash"), "id_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (
@@ -379,7 +457,9 @@ def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> Data
     inverted-index self-join (exact superset of the true ≥-threshold
     pairs). Exposed separately so skew tests can count candidates per
     prefix order without running verification."""
-    ex = _prefix_tokens(sh, threshold, prefix_order)
+    # One repartition of the shared exploded side serves both aliases
+    # (corpus-scaled count: the 250× no-spill wall).
+    ex = _cluster(_prefix_tokens(sh, threshold, prefix_order), scaled_join_partitions(sh), "s")
     a, b = ex.alias("a"), ex.alias("b")
     num = round(threshold * 1_000_000)
     # PPJoin positional filter: J ≥ t ⟺ overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉,
@@ -557,8 +637,14 @@ def minhash_lsh_pairs(
     sh = portable_shingle_index(df, id_col, text_col, n).filter(F.col("sz") > 0)
     sig = sh.select("id", *minhash_band_keys(n_bands, rows_per_band, seed))
     # Long format: one shuffle on (band_idx, band_key) instead of b joins.
-    ex = sig.select(
-        "id", F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias("band", "key")
+    ex = _cluster(
+        sig.select(
+            "id",
+            F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias("band", "key"),
+        ),
+        scaled_join_partitions(sh),
+        "band",
+        "key",
     )
     a, b_ = ex.alias("a"), ex.alias("b")
     cands = (
@@ -653,10 +739,17 @@ def banded_hamming_pairs(
     # Long format (id, band_idx, band_value, full signature): ONE
     # self-join on (band_idx, band_value) replaces n_bands separate
     # joins, and the signature pipeline is computed once per side.
-    ex = sig.select(
-        "id",
-        *[F.col(f"band{i}") for i in range(n_bands)],
-        F.posexplode(F.array(*[F.col(f"band{i}") for i in range(n_bands)])).alias("b_idx", "b_val"),
+    ex = _cluster(
+        sig.select(
+            "id",
+            *[F.col(f"band{i}") for i in range(n_bands)],
+            F.posexplode(
+                F.array(*[F.col(f"band{i}") for i in range(n_bands)])
+            ).alias("b_idx", "b_val"),
+        ),
+        scaled_join_partitions(sig),
+        "b_idx",
+        "b_val",
     )
     a, b = ex.alias("a"), ex.alias("b")
     ham = None

@@ -331,9 +331,11 @@ def containment_pairs(
     # super-linear (180 s vs ~25 s for the Jaccard twin); broadcast
     # stays forbidden either way (the 125× replica OOM class —
     # dedup._verify_pairs_jaccard rationale).
+    n_sc = D.scaled_join_partitions(sh)
     return (
-        cands.hint("shuffle_hash").join(a, "id_a")
-        .join(b.hint("shuffle_hash"), "id_b")
+        D._cluster(cands, n_sc, "id_a").hint("shuffle_hash")
+        .join(D._cluster(a, n_sc, "id_a"), "id_a")
+        .join(D._cluster(b, n_sc, "id_b").hint("shuffle_hash"), "id_b")
         .withColumn("__inter", inter.cast("long"))
         .filter((F.col("__inter") * 1_000_000 >= F.col("sz_a") * num) & (F.col("sz_a") > 0))
         .select(
@@ -372,13 +374,22 @@ def _containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     separately so skew tests can count candidates without running
     verification (mirrors dedup._candidate_pairs)."""
     num = round(threshold * 1_000_000)
-    pref = D._prefix_tokens(sh, threshold, "df").select(
-        F.col("id").alias("id_a"), F.col("sz").alias("psz_a"), "s"
+    n_sc = D.scaled_join_partitions(sh)
+    pref = D._cluster(
+        D._prefix_tokens(sh, threshold, "df").select(
+            F.col("id").alias("id_a"), F.col("sz").alias("psz_a"), "s"
+        ),
+        n_sc,
+        "s",
     )
-    inv = D.ordered_shingle_index(sh).select(
-        F.col("id").alias("id_b"),
-        F.col("sz").alias("isz_b"),
-        F.posexplode("osh").alias("pb", "s"),
+    inv = D._cluster(
+        D.ordered_shingle_index(sh).select(
+            F.col("id").alias("id_b"),
+            F.col("sz").alias("isz_b"),
+            F.posexplode("osh").alias("pb", "s"),
+        ),
+        n_sc,
+        "s",
     )
     k_a = D._ceil_frac(F.col("psz_a"), threshold)
     # Pinned shuffle-hash with the (much smaller) prefix side as build:
@@ -905,21 +916,26 @@ def incremental_jaccard_pairs(
     """
     num = round(threshold * 1_000_000)
     sh = D.shingle_index(df, id_col, text_col, n)
+    n_sc = D.scaled_join_partitions(sh)
     new_pred = F.col("id") % new_mod == 0
     prefix_len = (F.col("sz") - D._ceil_frac(F.col("sz"), threshold) + 1).cast("int")
     osh = D.ordered_shingle_index(sh)
-    pref = (
+    pref = D._cluster(
         osh.filter(new_pred)
         .select("id", "sz", F.posexplode(F.slice("osh", 1, prefix_len)).alias("pn", "s"))
-        .select(F.col("id").alias("id_new"), F.col("sz").alias("sz_new"), "pn", "s")
+        .select(F.col("id").alias("id_new"), F.col("sz").alias("sz_new"), "pn", "s"),
+        n_sc,
+        "s",
     )
-    inv = (
+    inv = D._cluster(
         osh.filter(~new_pred)
         .select(
             F.col("id").alias("id_old"),
             F.col("sz").alias("sz_old"),
             F.posexplode("osh").alias("po", "s"),
-        )
+        ),
+        n_sc,
+        "s",
     )
     alpha = D._alpha(F.col("sz_new"), F.col("sz_old"), threshold)
     cands = (
@@ -945,8 +961,13 @@ def incremental_jaccard_pairs(
     # Pinned shuffle-hash (build: narrow pairs, then the array side —
     # the fat stream is never sorted): both batch (10% of corpus) and
     # corpus array sides are corpus-scaled — never broadcastable (the
-    # 125× replica OOM class; dedup._verify_pairs_jaccard rationale).
-    j = cands.hint("shuffle_hash").join(a, "id_new").join(b.hint("shuffle_hash"), "id_old")
+    # 125× replica OOM class; dedup._verify_pairs_jaccard rationale),
+    # clustered at the corpus-scaled count (the 250× no-spill wall).
+    j = (
+        D._cluster(cands, n_sc, "id_new").hint("shuffle_hash")
+        .join(D._cluster(a, n_sc, "id_new"), "id_new")
+        .join(D._cluster(b, n_sc, "id_old").hint("shuffle_hash"), "id_old")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (
@@ -1248,10 +1269,15 @@ def incremental_pairs_vs_corpus(
     )
     # The corpus side is pinned shuffle-hash (never broadcastable — the
     # 125× replica OOM class; build = per-partition-bounded arrays, the
-    # fat stream never sorted); the NEW side stays unhinted on purpose:
-    # a micro-batch is trigger-bounded, and broadcasting it is the
-    # intended streaming-ingest plan.
-    j = cands.join(a, "id_new").join(b.hint("shuffle_hash"), "id_old")
+    # fat stream never sorted) and clustered at the corpus-scaled
+    # count (the 250× no-spill wall) — the probe side auto-matches its
+    # partitioning, so no extra exchange. The NEW side stays unhinted
+    # and unclustered on purpose: a micro-batch is trigger-bounded,
+    # and broadcasting it is the intended streaming-ingest plan.
+    j = cands.join(a, "id_new").join(
+        D._cluster(b, D.scaled_join_partitions(sh_old), "id_old").hint("shuffle_hash"),
+        "id_old",
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (

@@ -582,3 +582,39 @@ def test_dedup_scale_broadcast_guards(spark, sf_dir):
         assert "ShuffledHashJoin" in plan, q
     assert spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") == str(8 * 1024 * 1024)
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(64 * 1024 * 1024)
+
+
+def test_dedup_join_partitions_scale_with_corpus(spark, sf_dir, monkeypatch):
+    """The 250× no-spill wall (r14): a ShuffledHashJoin build side
+    cannot spill, so per-task build memory is build_size/partitions
+    and the r13 pins — which survive 125× sf0.1 replicas at the
+    session's 32 partitions — died at 250× with "Can't acquire …
+    memory to build hash relation". The control is the partition
+    count: the pinned joins cluster both sides at ~1 shuffle partition
+    per MB of source bytes, session conf as FLOOR. Below the envelope
+    (every driver sf) the helper answers None and plans stay
+    byte-identical — the guard above already pins those shapes; this
+    test shrinks the envelope so the tiny corpus counts as 'big' and
+    asserts the exchanges actually move to the scaled count while the
+    no-broadcast/hash-join discipline holds."""
+    from sql_engine_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_index(docs)
+    assert D.scaled_join_partitions(sh) is None, "driver sfs must stay under the envelope"
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    monkeypatch.setattr(D, "_JOIN_PARTITION_INPUT_BYTES", 1024)
+    n = D.scaled_join_partitions(sh)
+    assert n is not None and n > conf
+    # The memoized ordered index was built under the normal envelope —
+    # rebuild so the scaled count reaches every exchange, and clear
+    # after so no other test inherits the shrunken-envelope artifact.
+    D.clear_shingle_index()
+    try:
+        plan = _plan(D.ngram_jaccard_pairs(docs))
+        assert f", {n})" in plan, plan
+        assert "REPARTITION_BY_NUM" in plan
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        D.clear_shingle_index()
