@@ -88,25 +88,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 # --- corpus-scaled shuffle partitioning for the pinned hash joins ---
-# A ShuffledHashJoin build side is per-partition and does NOT spill:
-# per-task build memory = build_side_size / shuffle_partitions, so
-# with a FIXED partition count every corpus-scaled build side
-# eventually hits the execution-memory wall no matter how carefully
-# the build side was chosen. Measured (r14): the r13 pins that survive
-# a 125× sf0.1 replica (625k docs) died at 250× (1.25M docs) with
-# "Can't acquire 134217728 bytes memory to build hash relation" at the
-# session's 32 partitions — the per-partition share of the candidate
-# pair / prefix / freq relations doubled past the pool. The honest
-# control is the partition count itself: ONE shuffle partition per
-# ~1 MB of compressed source bytes keeps per-partition build state
-# roughly constant as the corpus grows (pair/prefix/freq row counts
-# all scale ~linearly with corpus bytes at constant dup density). The
-# session conf stays the FLOOR: every corpus under ~conf MB — all
-# three driver sfs — keeps byte-identical plans, and a real cluster's
-# deployment rule (shuffle partitions ~2–3× total cores, SCALE.md
-# "SHJ operating envelope") dominates until the corpus outgrows it,
-# at which point this rule adds exactly the headroom the no-spill
-# build needs. Derived from pure driver-side file metadata — no job.
+# A ShuffledHashJoin build side is per-partition and does NOT spill,
+# so with a FIXED partition count every corpus-scaled build side
+# eventually hits the execution-memory wall: the r13 pins that survive
+# a 125× sf0.1 replica died at 250× (1.25M docs) with "Can't acquire
+# 134217728 bytes memory to build hash relation" at 32 partitions
+# (r14). The honest control is the partition count itself: ONE shuffle
+# partition per ~1 MB of compressed source bytes keeps per-partition
+# build state roughly constant (pair/prefix/freq rows scale ~linearly
+# with corpus bytes at constant dup density), with the session conf as
+# FLOOR — every corpus under ~conf MB (all driver sfs) keeps
+# byte-identical plans. Pure driver-side file metadata, no job. Full
+# rationale, A/B price, and asymptote: SCALE.md "SHJ operating
+# envelope → corpus-scaled join partitioning".
 _JOIN_PARTITION_INPUT_BYTES = 1 << 20
 
 
@@ -121,10 +115,13 @@ def _input_bytes(df: DataFrame) -> "int | None":
     if cached is not None:
         return cached
     try:
-        total = 0
-        for uri in df.inputFiles():
-            total += os.path.getsize(uri[len("file:"):] if uri.startswith("file:") else uri)
-        return total
+        files = df.inputFiles()
+        if not files:
+            return None  # cached/derived plan, not "0 bytes of input"
+        return sum(
+            os.path.getsize(uri[len("file:"):] if uri.startswith("file:") else uri)
+            for uri in files
+        )
     except Exception:
         return None
 
@@ -634,7 +631,12 @@ def minhash_lsh_pairs(
     # AFTER the persisted index (a cheap filter over cached data) —
     # without it they would share one all-empty band key and
     # candidate-pair quadratically among themselves.
-    sh = portable_shingle_index(df, id_col, text_col, n).filter(F.col("sz") > 0)
+    idx = portable_shingle_index(df, id_col, text_col, n)
+    sh = idx.filter(F.col("sz") > 0)
+    # A derived view is a NEW DataFrame — the memo's byte stamp does
+    # not follow it, and the persisted parent hides the file scan from
+    # inputFiles() — so re-stamp the filtered index for join sizing.
+    sh._corpus_input_bytes = _input_bytes(idx)
     sig = sh.select("id", *minhash_band_keys(n_bands, rows_per_band, seed))
     # Long format: one shuffle on (band_idx, band_key) instead of b joins.
     ex = _cluster(

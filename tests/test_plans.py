@@ -616,5 +616,13 @@ def test_dedup_join_partitions_scale_with_corpus(spark, sf_dir, monkeypatch):
         assert "REPARTITION_BY_NUM" in plan
         assert "ShuffledHashJoin" in plan
         assert "BroadcastHashJoin" not in plan
+        # The minhash path sizes from a FILTERED view of the persisted
+        # portable index — a derived DataFrame loses the memo's byte
+        # stamp and a persisted parent hides the scan, so the operator
+        # re-stamps it (r14 review find): pin that the scaled count
+        # reaches x04's exchanges too.
+        plan = _plan(D.minhash_lsh_pairs(docs))
+        assert f", {n})" in plan, plan
+        assert "BroadcastHashJoin" not in plan
     finally:
         D.clear_shingle_index()
