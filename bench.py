@@ -141,6 +141,18 @@ CANARY_QUERY = "e08_distinct"
 # 1.2–1.3 band now buy the one re-measure instead of shipping.
 CANARY_CLEAN = 1.2
 
+# Steal-sensitive twin gate (VERDICT r14 #3: "promote the py canary
+# into the certification gate once it has a cross-round floor"). The
+# cross-round floor, recorded in SCALE.md "py-canary floor": min
+# samples 0.227 / 0.238 / 0.248 / 0.249 / 0.256 / 0.275 across the
+# r14 driver window, r14 window B, and three r15 windows — a stable
+# 0.23–0.28 s band. Certified windows read py_spread ≤ 1.24 (r14
+# driver 1.2, r14 B 1.24); every adjudicated steal window read ≥ 1.4
+# (r15 W1 1.6, W2 1.4). 1.4 sits between the populations: a window
+# whose e08 is clean but whose py spread reaches 1.4 is the s01-r13
+# class (non-JVM-path steal) and must not certify per-query medians.
+PY_CANARY_CLEAN = 1.4
+
 # Single-SLOT contention line (r12): a certified window certifies the
 # WINDOW, not each query's moment — r11's driver window read q3 at
 # 1.6× and an r12 certified window read x38 at 3.145 [2.702, 4.011]
@@ -217,10 +229,16 @@ def _py_canary_once(spark) -> float:
     many tiny tasks, and fork/exec page-cache pressure. This probe
     pays exactly those costs and ~nothing else, so a window where
     e08 sits at its floor while this spread blows out is adjudicated
-    as host steal on the non-JVM path, not regression. Recorded as
-    context in BENCH_DETAIL (canary.py_samples/py_spread and beside
-    each solo recheck); e08 remains the sole certification gate until
-    this probe has a cross-round floor to set a clean line against."""
+    as host steal on the non-JVM path, not regression. Coverage
+    caveat (ADVICE r14): ``spark.python.worker.reuse`` is on in the
+    session, so only the FIRST probe of a session pays worker
+    spin-up/fork-exec; later samples (and every min-of-2) measure
+    tiny-task scheduling plus the Arrow round-trip — still the
+    steal-sensitive path the JVM canary is blind to, but spin-up
+    itself is amortized away after sample one. All raw samples ship
+    in canary.py_samples so the un-amortized first reading stays
+    visible. Recorded as context in BENCH_DETAIL
+    (canary.py_samples/py_spread and beside each solo recheck)."""
     t0 = time.perf_counter()
     spark.range(0, 256, 1, 32).mapInPandas(
         lambda it: it, "id long"
@@ -551,15 +569,19 @@ def main() -> None:
 
     timings, spread, warmup, n_by_query, canary = _measure(spark, sf_dir, n_runs)
     canaries = [canary]
-    if canary["spread"] > CANARY_CLEAN:
+    # Either gate over the line buys the one re-measure: a clean-e08 /
+    # dirty-py first pass is non-JVM-path steal (the s01-r13 class)
+    # and is just as uncertifiable as a dirty-e08 pass.
+    if canary["spread"] > CANARY_CLEAN or canary["py_spread"] > PY_CANARY_CLEAN:
         print(
-            f"# canary spread {canary['spread']} > {CANARY_CLEAN}: contended run, "
-            "re-measuring once",
+            f"# canary spread {canary['spread']} (clean ≤ {CANARY_CLEAN}) / "
+            f"py {canary['py_spread']} (clean ≤ {PY_CANARY_CLEAN}): contended "
+            "run, re-measuring once",
             file=sys.stderr,
         )
         t2 = _measure(spark, sf_dir, n_runs)
         canaries.append(t2[4])
-        if t2[4]["spread"] < canary["spread"]:
+        if (t2[4]["spread"], t2[4]["py_spread"]) < (canary["spread"], canary["py_spread"]):
             timings, spread, warmup, n_by_query, canary = t2
 
     # Slot-contention resolution (VERDICT r12 #1): any query whose own
@@ -629,7 +651,10 @@ def main() -> None:
             q: {
                 "ceiling": TARGETS[q],
                 "median": timings.get(q),
-                "over": timings.get(q, 0.0) > TARGETS[q],
+                # None (explicit unknown) when the query was not
+                # measured this window — a bare False would read as a
+                # pass to anyone applying the 1.35× rule (ADVICE r14).
+                "over": (timings[q] > TARGETS[q]) if q in timings else None,
                 "slot_spread": (
                     round(spread[q][1] / max(spread[q][0], 1e-9), 2)
                     if q in spread
@@ -641,10 +666,22 @@ def main() -> None:
         "recall": recall,
         "scale_probe": scale_probe,
     }
-    emit(timings, sf_val, detail, canary_spread=canary["spread"])
+    emit(
+        timings,
+        sf_val,
+        detail,
+        canary_spread=canary["spread"],
+        py_spread=canary["py_spread"],
+    )
 
 
-def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None) -> str:
+def emit(
+    timings: dict,
+    sf_val,
+    detail: dict,
+    canary_spread: float | None = None,
+    py_spread: float | None = None,
+) -> str:
     """Write the detail sidecar and print the compact driver-contract
     JSON as the LAST stdout line. Returns the line (for tests).
     Detail goes to BENCH_DETAIL.json + stderr, NOT the stdout line
@@ -656,7 +693,16 @@ def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None
     # The certified verdict is computed HERE, once, and stamped on both
     # records (ADVICE r11: two independent evaluations of the threshold
     # could drift apart when the clean line moves, as it did in r10).
-    certified = None if canary_spread is None else canary_spread <= CANARY_CLEAN
+    # Since r15 BOTH canaries gate (VERDICT r14 #3): e08 for the JVM
+    # codegen path, the mapInPandas twin for the tiny-task/Python-worker
+    # path e08 is structurally blind to. py_spread=None (old callers,
+    # unit fixtures) gates on e08 alone.
+    certified = (
+        None
+        if canary_spread is None
+        else canary_spread <= CANARY_CLEAN
+        and (py_spread is None or py_spread <= PY_CANARY_CLEAN)
+    )
     if certified is not None:
         detail = {**detail, "certified": certified}
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
@@ -675,6 +721,8 @@ def emit(timings: dict, sf_val, detail: dict, canary_spread: float | None = None
     }
     if canary_spread is not None:
         payload["canary_spread"] = canary_spread
+        if py_spread is not None:
+            payload["py_canary_spread"] = py_spread
         # One bool a reader can trust without knowing the clean line's
         # current value (it moved 1.3→1.2 in r10): False = contended
         # window, do NOT read per-query deltas as regressions.

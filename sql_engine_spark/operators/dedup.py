@@ -129,14 +129,19 @@ def _input_bytes(df: DataFrame) -> "int | None":
 def scaled_join_partitions(df: DataFrame) -> "int | None":
     """Partition count for the pinned corpus-scaled hash joins, or
     None when the session conf already bounds the per-partition build
-    (small corpus: the plan stays byte-identical)."""
+    (small corpus: the plan stays byte-identical). An unparseable
+    ``spark.sql.shuffle.partitions`` (e.g. ``"auto"`` on an
+    AQE-managed platform) must NOT silently disable the scaling rule
+    — that would reintroduce the 250× SHJ no-spill wall exactly where
+    it bites (ADVICE r14) — so the floor falls back to the cluster's
+    ``defaultParallelism`` instead of returning None."""
     total = _input_bytes(df)
     if total is None:
         return None
     try:
         conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
-        return None
+        conf = int(df.sparkSession.sparkContext.defaultParallelism)
     n = total // _JOIN_PARTITION_INPUT_BYTES
     return int(n) if n > conf else None
 
@@ -729,7 +734,10 @@ def simhash_pairs(
 
 
 def banded_hamming_pairs(
-    sig: DataFrame, max_hamming: int, n_bands: int = _SIMHASH_BITS // _BAND_BITS
+    sig: DataFrame,
+    max_hamming: int,
+    n_bands: int = _SIMHASH_BITS // _BAND_BITS,
+    source: "DataFrame | None" = None,
 ) -> DataFrame:
     """Banded-LSH pair mining over any 64-bit signature emitted as
     ``(id, band0..band{n-1})`` 16-bit ints (SimHash, image average
@@ -737,7 +745,16 @@ def banded_hamming_pairs(
     distance (bit_count of the XORed bands) filters. By pigeonhole,
     recall is EXACT for hamming < n_bands; beyond that it degrades
     gracefully like any banding. Output: (id_a, id_b, hamming),
-    id_a < id_b."""
+    id_a < id_b.
+
+    The self-join clusters at the corpus-scaled partition count sized
+    from ``source`` when given, else from ``sig`` itself. A PERSISTED
+    or otherwise derived ``sig`` hides its file scan from
+    ``inputFiles()`` (the x04 re-stamp incident, r14), so direct
+    callers must either pass the file-backed ``source`` frame or
+    stamp ``sig._corpus_input_bytes`` — the memoized
+    :func:`simhash_pairs` path does the latter via ``_memo_persist``
+    (ADVICE r14)."""
     # Long format (id, band_idx, band_value, full signature): ONE
     # self-join on (band_idx, band_value) replaces n_bands separate
     # joins, and the signature pipeline is computed once per side.
@@ -749,7 +766,7 @@ def banded_hamming_pairs(
                 F.array(*[F.col(f"band{i}") for i in range(n_bands)])
             ).alias("b_idx", "b_val"),
         ),
-        scaled_join_partitions(sig),
+        scaled_join_partitions(source if source is not None else sig),
         "b_idx",
         "b_val",
     )

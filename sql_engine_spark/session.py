@@ -32,17 +32,17 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.ansi.enabled": "true",
     # Broadcast threshold: TPC-H-style dimension tables (region, nation,
     # supplier, part at small SF) broadcast; AQE upgrades more joins at
-    # runtime from observed sizes.
+    # runtime from observed sizes. The session-global 8 MB
+    # adaptive.autoBroadcastJoinThreshold cap that guarded the r13
+    # 125×-replica broadcast OOM was RETIRED in r15 (VERDICT r14 #1):
+    # every corpus-scaled dedup join now carries a per-join
+    # shuffle_hash pin, and the pins are honored THROUGH AQE
+    # replanning — executed-plan (isFinalPlan=true) audit of the whole
+    # family at sf0.1 under a 64 MB adaptive threshold shows zero
+    # BroadcastHashJoin (pinned in test_plans.py; A/B + rationale in
+    # SCALE.md "AQE broadcast-cap retirement"). Honest small sides get
+    # their 8–64 MB runtime upgrades back engine-wide.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # AQE's runtime broadcast upgrades judge a side by its COMPRESSED
-    # shuffle bytes, which under-read the in-memory hashed-relation size
-    # 5–30× for repetitive long/array columns — at a 125× sf0.1 dedup
-    # replica a corpus-scaled side slipped under the 64 MB line and the
-    # driver died in the broadcast build (r13). 8 MB compressed bounds
-    # the worst-case expansion near ~250 MB: genuinely tiny sides still
-    # upgrade at runtime, corpus-scaled ones cannot. Static planning
-    # keeps the 64 MB line above (file-size estimates are honest).
-    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects; read as long nanos and convert in the catalog

@@ -563,10 +563,17 @@ def test_dedup_scale_broadcast_guards(spark, sf_dir):
     such join is pinned shuffle-hash with a chosen build side (narrow
     pairs / per-partition-bounded arrays; a merge pin sorted the fat
     pairs×arrays intermediate and went 3× super-linear at 125×).
-    Defense in depth: the session also caps AQE runtime broadcast
-    upgrades at 8 MB compressed, bounding the expansion of any future
-    flip engine-wide; static 64 MB planning for honest file-backed
-    dims stays untouched."""
+
+    The session-global 8 MB AQE broadcast cap that backstopped the
+    pins r13–r14 was retired in r15 (VERDICT r14 #1): the pins alone
+    carry the guarantee, so this test pins them at BOTH planning
+    layers — the static plan for every family query, and the EXECUTED
+    adaptive plan (isFinalPlan=true) for one, where AQE has already
+    observed runtime sizes small enough to upgrade every join it is
+    allowed to. A dropped hint flips the executed plan to
+    BroadcastHashJoin here long before any replica sweep runs
+    (executed-plan audit of all five at sf0.1 under the 64 MB adaptive
+    threshold: zero BHJ — SCALE.md 'AQE broadcast-cap retirement')."""
     # x04/x05 joined the loop in r14 (ADVICE r13): minhash_lsh_pairs and
     # banded_hamming_pairs carry the same pins, and a dropped hint there
     # would regress to broadcast/sort-merge with no other test noticing.
@@ -580,8 +587,21 @@ def test_dedup_scale_broadcast_guards(spark, sf_dir):
         plan = _plan(matrix.QUERIES[q](spark, sf_dir))
         assert "BroadcastHashJoin" not in plan, q
         assert "ShuffledHashJoin" in plan, q
-    assert spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") == str(8 * 1024 * 1024)
+    # No session-scoped adaptive cap anymore: honest small sides keep
+    # their runtime upgrades; the adaptive threshold falls back to the
+    # static 64 MB line.
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(64 * 1024 * 1024)
+    assert spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    ) == str(64 * 1024 * 1024)
+    # Executed-plan pin: x05 is the family's cheapest query — run it to
+    # completion and assert the FINAL adaptive plan kept the hash join.
+    df = matrix.QUERIES["x05_dedup_simhash"](spark, sf_dir)
+    df.count()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "BroadcastHashJoin" not in executed
+    assert "ShuffledHashJoin" in executed
 
 
 def test_dedup_join_partitions_scale_with_corpus(spark, sf_dir, monkeypatch):
@@ -624,5 +644,40 @@ def test_dedup_join_partitions_scale_with_corpus(spark, sf_dir, monkeypatch):
         plan = _plan(D.minhash_lsh_pairs(docs))
         assert f", {n})" in plan, plan
         assert "BroadcastHashJoin" not in plan
+    finally:
+        D.clear_shingle_index()
+
+
+def test_scaled_join_partitions_unparseable_conf_falls_back(spark, sf_dir, monkeypatch):
+    """ADVICE r14: an unparseable ``spark.sql.shuffle.partitions``
+    (e.g. ``"auto"`` on an AQE-managed platform) must not silently
+    disable corpus-scaled partitioning — that would reintroduce the
+    250× SHJ no-spill wall exactly where the rule matters. The floor
+    falls back to ``defaultParallelism``: above the envelope the
+    scaled count still answers; below it the answer stays None."""
+    from sql_engine_spark.operators import dedup as D
+
+    from pyspark.sql.conf import RuntimeConfig
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_index(docs)
+    # Stock Spark validates conf.set("...partitions", "auto") away, so
+    # simulate the platform-injected value at the READ: that is the
+    # exact surface scaled_join_partitions consumes.
+    orig_get = RuntimeConfig.get
+
+    def fake_get(self, key, default=None):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig_get(self, key, default)
+
+    monkeypatch.setattr(RuntimeConfig, "get", fake_get)
+    try:
+        # Below the envelope: tiny corpus, fallback floor bounds it.
+        assert D.scaled_join_partitions(sh) is None
+        # Above the envelope: the byte rule must still engage.
+        monkeypatch.setattr(D, "_JOIN_PARTITION_INPUT_BYTES", 1024)
+        n = D.scaled_join_partitions(sh)
+        assert n is not None and n > spark.sparkContext.defaultParallelism
     finally:
         D.clear_shingle_index()

@@ -362,6 +362,19 @@ def test_bench_contract_line_is_compact(tmp_path, capsys, monkeypatch):
     dirty = json.loads(bench.emit(timings, 0.1, detail, canary_spread=1.5))
     assert dirty["certified"] is False
     assert json.loads(detail_file.read_text())["certified"] is False
+    # Since r15 the steal-sensitive py canary co-gates (VERDICT r14
+    # #3): a clean-e08 window with a blown py spread is the s01-r13
+    # class (non-JVM-path steal) and must NOT certify; a clean pair
+    # certifies and the line carries both spreads.
+    both = json.loads(
+        bench.emit(timings, 0.1, detail, canary_spread=1.08, py_spread=1.24)
+    )
+    assert both["certified"] is True and both["py_canary_spread"] == 1.24
+    py_dirty = json.loads(
+        bench.emit(timings, 0.1, detail, canary_spread=1.08, py_spread=1.6)
+    )
+    assert py_dirty["certified"] is False
+    assert json.loads(detail_file.read_text())["certified"] is False
 
 
 def test_rows_only_harness_action_is_noop_write():

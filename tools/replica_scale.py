@@ -221,6 +221,16 @@ def main() -> None:
     default_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ap.add_argument("--sf-dir", default=default_sf)
     ap.add_argument("--facts", default=None, help="comma-separated fact tables")
+    ap.add_argument(
+        "--persist-level",
+        default="default",
+        choices=["default", "disk_only", "none"],
+        help="dedup memo persist level for capacity A/Bs (VERDICT r14 #2: "
+        "is x38's 250×/125× super-linearity the persisted ordered-index "
+        "working set?): default = engine behavior (MEMORY_AND_DISK), "
+        "disk_only = serialized-on-disk cache (page-cache arm), none = "
+        "recompute-not-persist (no cache memory pressure at all)",
+    )
     args = ap.parse_args()
 
     from sql_engine_spark.session import get_spark
@@ -228,7 +238,40 @@ def main() -> None:
     spark = get_spark(app_name="replica-scale")
     spark.sparkContext.setLogLevel("ERROR")
     facts = tuple(args.facts.split(",")) if args.facts else None
-    print(json.dumps(run_curve(spark, args.query, args.factors, args.sf_dir, args.runs, facts)))
+    apply_persist_level(args.persist_level)
+    curve = run_curve(spark, args.query, args.factors, args.sf_dir, args.runs, facts)
+    curve["persist_level"] = args.persist_level
+    print(json.dumps(curve))
+
+
+def apply_persist_level(level: str) -> None:
+    """Experiment-only override of the dedup memo's storage behavior —
+    patched HERE, in the harness, so the engine keeps exactly one
+    persist policy in production code. ``none`` swaps ``_memo_persist``
+    for a build-and-stamp passthrough (every use of the artifact
+    recomputes its plan; zero cache memory/page-cache pressure);
+    ``disk_only`` rebinds the level so the cache is serialized-on-disk
+    only. Both keep the ``_corpus_input_bytes`` stamp — the join
+    partition scaling must stay identical across arms or the A/B
+    measures plans, not storage."""
+    if level == "default":
+        return
+    from pyspark.storagelevel import StorageLevel
+
+    from sql_engine_spark.operators import dedup
+
+    if level == "disk_only":
+        dedup.StorageLevel = type(
+            "_SL", (), {"MEMORY_AND_DISK": StorageLevel.DISK_ONLY}
+        )
+    else:
+
+        def _memo_nopersist(memo, extra_key, df, build):
+            out = build()
+            out._corpus_input_bytes = dedup._input_bytes(df)
+            return out
+
+        dedup._memo_persist = _memo_nopersist
 
 
 if __name__ == "__main__":
