@@ -170,6 +170,29 @@ PY_CANARY_CLEAN = 1.5
 SLOT_SPREAD_LINE = 1.35
 
 
+def targets_block(timings: dict, spread: dict) -> dict:
+    """The decidable-from-the-record target evaluation (VERDICT r13
+    #3): every standing ceiling with its measured median, slot spread,
+    and over/under verdict. ``over`` is None — an EXPLICIT unknown —
+    when the query was not measured this window: a bare False would
+    read as a pass to anyone applying the 1.35× rule from the record
+    (ADVICE r14). Only meaningful on a certified window (emit stamps
+    that verdict)."""
+    return {
+        q: {
+            "ceiling": TARGETS[q],
+            "median": timings.get(q),
+            "over": (timings[q] > TARGETS[q]) if q in timings else None,
+            "slot_spread": (
+                round(spread[q][1] / max(spread[q][0], 1e-9), 2)
+                if q in spread
+                else None
+            ),
+        }
+        for q in sorted(TARGETS)
+    }
+
+
 def slot_contended(spread: dict, n_by_query: dict) -> dict:
     """Names → intra-spread for slots that self-flag (n≥5 only — an
     n=3 spread is a coin flip, not a contention signal)."""
@@ -654,22 +677,7 @@ def main() -> None:
         # spread, and the flag state — a reader applies the 1.35× rule
         # without cross-referencing BASELINE.md. Only meaningful on a
         # certified window (emit stamps that verdict).
-        "targets": {
-            q: {
-                "ceiling": TARGETS[q],
-                "median": timings.get(q),
-                # None (explicit unknown) when the query was not
-                # measured this window — a bare False would read as a
-                # pass to anyone applying the 1.35× rule (ADVICE r14).
-                "over": (timings[q] > TARGETS[q]) if q in timings else None,
-                "slot_spread": (
-                    round(spread[q][1] / max(spread[q][0], 1e-9), 2)
-                    if q in spread
-                    else None
-                ),
-            }
-            for q in sorted(TARGETS)
-        },
+        "targets": targets_block(timings, spread),
         "recall": recall,
         "scale_probe": scale_probe,
     }

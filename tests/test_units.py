@@ -589,6 +589,20 @@ def test_bench_standing_targets_are_evaluable():
         "x38_containment",
     ):
         assert q in bench.TARGETS
+    # ADVICE r14: an UNMEASURED target must record over=None (explicit
+    # unknown), never False — and a measured one must adjudicate both
+    # ways with its slot spread attached.
+    some_q = "x38_containment"
+    blk = bench.targets_block(
+        {some_q: bench.TARGETS[some_q] + 1.0}, {some_q: (1.0, 1.2)}
+    )
+    assert blk[some_q]["over"] is True and blk[some_q]["slot_spread"] == 1.2
+    assert blk[some_q]["median"] == bench.TARGETS[some_q] + 1.0
+    under = bench.targets_block({some_q: 0.1}, {})
+    assert under[some_q]["over"] is False and under[some_q]["slot_spread"] is None
+    missing = bench.targets_block({}, {})
+    for q in bench.TARGETS:
+        assert missing[q]["over"] is None and missing[q]["median"] is None
 
 
 def test_solo_recheck_adjudicates_flagged_slots():
