@@ -170,6 +170,22 @@ PY_CANARY_CLEAN = 1.5
 SLOT_SPREAD_LINE = 1.35
 
 
+def window_rank(spread: float, py_spread: float) -> tuple:
+    """Rank one measured window for the re-measure pick — LOWER is
+    better. Gate outcome first (ADVICE r15): the old lexicographic
+    (spread, py_spread) compare could discard a window that passes
+    BOTH canary gates because its e08 spread was marginally higher
+    than a first window that FAILED the py gate (e.g. first 1.10/1.60
+    vs re-measure 1.12/1.25 kept the dirty first window — a false
+    uncertified verdict with a clean window in hand, defeating the
+    re-measure's whole purpose). Rank = (fails-any-gate, normalized
+    worst ratio max(spread/CANARY_CLEAN, py/PY_CANARY_CLEAN)): a
+    certifiable window beats any uncertifiable one, and within a
+    class the window closer to clean on its WORST gate wins."""
+    passes = spread <= CANARY_CLEAN and py_spread <= PY_CANARY_CLEAN
+    return (not passes, max(spread / CANARY_CLEAN, py_spread / PY_CANARY_CLEAN))
+
+
 def targets_block(timings: dict, spread: dict) -> dict:
     """The decidable-from-the-record target evaluation (VERDICT r13
     #3): every standing ceiling with its measured median, slot spread,
@@ -611,7 +627,12 @@ def main() -> None:
         )
         t2 = _measure(spark, sf_dir, n_runs)
         canaries.append(t2[4])
-        if (t2[4]["spread"], t2[4]["py_spread"]) < (canary["spread"], canary["py_spread"]):
+        # Gate-outcome-first pick (ADVICE r15): a re-measure that
+        # passes both gates ships even if its e08 spread is nominally
+        # higher than the dirty first window's.
+        if window_rank(t2[4]["spread"], t2[4]["py_spread"]) < window_rank(
+            canary["spread"], canary["py_spread"]
+        ):
             timings, spread, warmup, n_by_query, canary = t2
 
     # Slot-contention resolution (VERDICT r12 #1): any query whose own

@@ -141,7 +141,15 @@ def scaled_join_partitions(df: DataFrame) -> "int | None":
     try:
         conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
-        conf = int(df.sparkSession.sparkContext.defaultParallelism)
+        # The fallback gets its own guard (ADVICE r15): on a driver
+        # without a local SparkContext (Spark Connect — where conf.get
+        # can be the very call that raised) ``sparkContext`` itself
+        # throws, and the scaling rule must degrade to the pre-r15
+        # behavior — None, unscaled but working — not propagate.
+        try:
+            conf = int(df.sparkSession.sparkContext.defaultParallelism)
+        except Exception:
+            return None
     n = total // _JOIN_PARTITION_INPUT_BYTES
     return int(n) if n > conf else None
 

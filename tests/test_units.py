@@ -959,3 +959,56 @@ def test_png_stored_deflate_layout_and_multiblock_roundtrip():
     png = png_encode(pixels, w, h)
     assert h * (1 + w * 3) > 65535  # genuinely spans >1 stored block
     assert png_decode(png) == (w, h, pixels)
+
+
+def test_window_rank_prefers_gate_passing_window():
+    """ADVICE r15: the re-measure pick was lexicographic
+    (spread, py_spread), so when the py canary bought the re-measure,
+    a second window passing BOTH gates was discarded if its e08 spread
+    was even marginally higher — e.g. first 1.10/1.60 vs re-measure
+    1.12/1.25 kept the dirty first window and shipped a false
+    uncertified verdict with a clean window in hand. window_rank
+    selects on gate outcome first, then normalized worst ratio."""
+    import bench
+
+    # The advisory's exact case: re-measure passes both gates, first
+    # window fails the py gate — re-measure must rank strictly better
+    # despite its higher raw e08 spread.
+    assert bench.window_rank(1.12, 1.25) < bench.window_rank(1.10, 1.60)
+    # Both windows fail a gate: tie-break on the normalized WORST
+    # ratio, not raw lexicographic order — a 1.10/1.93 window (py
+    # 1.29× over) is worse than 1.25/1.55 (e08 1.04× over).
+    assert bench.window_rank(1.25, 1.55) < bench.window_rank(1.10, 1.93)
+    # Both pass: the window closer to clean on its worst gate wins;
+    # e08-vs-py units are normalized by their own clean lines.
+    assert bench.window_rank(1.05, 1.10) < bench.window_rank(1.18, 1.10)
+    # Rank agrees with the certification predicate emit() stamps.
+    passes, _ = bench.window_rank(bench.CANARY_CLEAN, bench.PY_CANARY_CLEAN)
+    assert passes is False  # exactly-at-the-line certifies
+    fails, _ = bench.window_rank(bench.CANARY_CLEAN + 0.01, 1.0)
+    assert fails is True
+
+
+def test_scaled_join_partitions_degrades_without_spark_context():
+    """ADVICE r15: the r15 ``defaultParallelism`` fallback ran inside
+    the except handler, so on a driver without a local SparkContext
+    (Spark Connect — where conf.get can be the very thing that raised)
+    the helper RAISED where pre-r15 code degraded to None (unscaled
+    but working). Both conf surfaces unavailable → None, no raise."""
+    from sql_engine_spark.operators import dedup as D
+
+    class _NoCtxSession:
+        class conf:
+            @staticmethod
+            def get(key):
+                raise RuntimeError("Spark Connect: no driver-side conf")
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError("Spark Connect: no driver-side SparkContext")
+
+    class _Df:
+        _corpus_input_bytes = 10 << 30  # far above the sizing envelope
+        sparkSession = _NoCtxSession()
+
+    assert D.scaled_join_partitions(_Df()) is None
