@@ -162,6 +162,18 @@ def _cluster(df: DataFrame, n: "int | None", *cols: str) -> DataFrame:
     return df.repartition(n, *cols) if n else df
 
 
+def _cluster_always(df: DataFrame, n: "int | None", *cols: str) -> DataFrame:
+    """Like :func:`_cluster`, but repartitions even when the corpus is
+    under the scaled-count floor (AQE-coalescible REPARTITION_BY_COL at
+    the session conf count). Used where one deliberate exchange is
+    about to be SHARED by an aggregation and a join keyed on a prefix
+    of its columns — hash(id_a) satisfies ClusteredDistribution(id_a,
+    id_b), so partitioning the raw pairs by the probe key once lets
+    the pair dedup AND the verify probe join both reuse it (2 Exchange
+    → 1 on every dedup-family verify path, r16)."""
+    return df.repartition(n, *cols) if n else df.repartition(*cols)
+
+
 # Persisted shingle-index memo, keyed by (session, input-plan semantic
 # hash, id_col, text_col, n). At 100 TB the shingle index is the
 # artifact you materialize ONCE and feed to every near-dup operator
@@ -341,7 +353,18 @@ def ordered_shingle_index(sh: DataFrame) -> DataFrame:
 
     def build() -> DataFrame:
         n_sc = scaled_join_partitions(sh)
-        toks = sh.select("id", "sz", F.explode("sh").alias("s"))
+        # ONE deliberate exchange serves the whole frequency pass
+        # (r16): the exploded token table is hash-partitioned on ``s``
+        # once, ``freq`` is derived FROM that partitioned frame (its
+        # groupBy is already clustered → no aggregation exchange), and
+        # the toks⨝freq join finds both children clustered on ``s`` →
+        # no join exchanges either. The old shape shuffled toks twice
+        # (once as (s, count) partials into the freq groupBy, once raw
+        # into the join); this ships the raw rows once: 3 Exchange →
+        # 1 on the shared df-order artifact, strictly fewer bytes.
+        toks = _cluster_always(
+            sh.select("id", "sz", F.explode("sh").alias("s")), n_sc, "s"
+        )
         freq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("freq"))
         # freq is the DISTINCT-shingle table — corpus-scaled, yet two
         # long columns compress far under any broadcast threshold.
@@ -351,7 +374,7 @@ def ordered_shingle_index(sh: DataFrame) -> DataFrame:
         # the corpus-scaled count so the freq build never outgrows a
         # partition (the 250× no-spill wall, _JOIN_PARTITION rationale).
         return (
-            _cluster(toks, n_sc, "s").join(_cluster(freq, n_sc, "s").hint("shuffle_hash"), "s")
+            toks.join(freq.hint("shuffle_hash"), "s")
             .groupBy("id", "sz")
             # array_sort on struct compares fields in order → (freq, s)
             # ascending = rarest-first with a deterministic hash tiebreak.
@@ -377,12 +400,17 @@ def _verify_pairs_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> 
     sorted (join 1 builds the narrow pairs, join 2 builds the
     per-partition-bounded array side): a merge pin sorted the
     pairs×arrays intermediate and went 3× super-linear on the
-    containment twin's 125× point."""
+    containment twin's 125× point.
+
+    ``cands`` arrives hash-partitioned on ``id_a`` — every candidate
+    producer repartitions its raw pairs by the probe key BEFORE the
+    pair dedup (:func:`_cluster_always` rationale) — so join 1 needs
+    no pair-side exchange here (2 Exchange → 1 per verify, r16)."""
     n_sc = scaled_join_partitions(sh)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     j = (
-        _cluster(cands, n_sc, "id_a").hint("shuffle_hash")
+        cands.hint("shuffle_hash")
         .join(_cluster(a, n_sc, "id_a"), "id_a")
         .join(_cluster(b, n_sc, "id_b").hint("shuffle_hash"), "id_b")
     )
@@ -469,7 +497,8 @@ def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> Data
     prefix order without running verification."""
     # One repartition of the shared exploded side serves both aliases
     # (corpus-scaled count: the 250× no-spill wall).
-    ex = _cluster(_prefix_tokens(sh, threshold, prefix_order), scaled_join_partitions(sh), "s")
+    n_sc = scaled_join_partitions(sh)
+    ex = _cluster(_prefix_tokens(sh, threshold, prefix_order), n_sc, "s")
     a, b = ex.alias("a"), ex.alias("b")
     num = round(threshold * 1_000_000)
     # PPJoin positional filter: J ≥ t ⟺ overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉,
@@ -483,7 +512,7 @@ def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> Data
     # not merge: rows are a handful of longs (cheap per-partition
     # build), and a merge pin would force a full sort of both exploded
     # sides — measured 1.7× slower on the containment twin at 125×.
-    return (
+    raw = (
         a.join(
             b.hint("shuffle_hash"),
             (F.col("a.s") == F.col("b.s"))
@@ -496,8 +525,16 @@ def _candidate_pairs(sh: DataFrame, threshold: float, prefix_order: str) -> Data
             & (ubound >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # Partition the RAW pairs by the verify probe key, THEN dedup:
+    # hash(id_a) satisfies the dedup's ClusteredDistribution(id_a,
+    # id_b) AND the verify join's ClusteredDistribution(id_a), so one
+    # deliberate exchange replaces the dedup's (id_a, id_b) exchange
+    # plus the verify's id_a exchange (2 Exchange → 1, r16; prefix
+    # collisions duplicate each pair only ~1.2× at sf0.1, so the raw
+    # rows crossing this single exchange cost less than the partial-
+    # dedup rows plus deduped rows crossing two).
+    return _cluster_always(raw, n_sc, "id_a").dropDuplicates(["id_a", "id_b"])
 
 
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -651,18 +688,19 @@ def minhash_lsh_pairs(
     # inputFiles() — so re-stamp the filtered index for join sizing.
     sh._corpus_input_bytes = _input_bytes(idx)
     sig = sh.select("id", *minhash_band_keys(n_bands, rows_per_band, seed))
+    n_sc = scaled_join_partitions(sh)
     # Long format: one shuffle on (band_idx, band_key) instead of b joins.
     ex = _cluster(
         sig.select(
             "id",
             F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(n_bands)])).alias("band", "key"),
         ),
-        scaled_join_partitions(sh),
+        n_sc,
         "band",
         "key",
     )
     a, b_ = ex.alias("a"), ex.alias("b")
-    cands = (
+    raw = (
         # Pinned shuffle-hash: the banded-signature self-join's sides
         # are both the full corpus's band keys — never broadcastable at
         # scale (the 125× replica OOM class); hash not merge per the
@@ -674,8 +712,10 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # Probe-key partition before the dedup: one exchange serves dedup
+    # AND the verify join (the _candidate_pairs rationale, r16).
+    cands = _cluster_always(raw, n_sc, "id_a").dropDuplicates(["id_a", "id_b"])
     return _verify_pairs_jaccard(cands, sh, threshold)
 
 

@@ -331,9 +331,13 @@ def containment_pairs(
     # super-linear (180 s vs ~25 s for the Jaccard twin); broadcast
     # stays forbidden either way (the 125× replica OOM class —
     # dedup._verify_pairs_jaccard rationale).
+    # cands arrive hash-partitioned on id_a (the candidate producer
+    # repartitions its raw pairs by the probe key before the dedup —
+    # dedup._cluster_always rationale): no pair-side exchange here
+    # (2 Exchange → 1 per verify, r16).
     n_sc = D.scaled_join_partitions(sh)
     return (
-        D._cluster(cands, n_sc, "id_a").hint("shuffle_hash")
+        cands.hint("shuffle_hash")
         .join(D._cluster(a, n_sc, "id_a"), "id_a")
         .join(D._cluster(b, n_sc, "id_b").hint("shuffle_hash"), "id_b")
         .withColumn("__inter", inter.cast("long"))
@@ -397,7 +401,7 @@ def _containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     # scale (the 125× replica OOM class) — and a merge pin here forced
     # a full sort of the 60M-row exploded index side, measured 1.7×
     # slower at 125× than hash-building the prefix rows per partition.
-    return (
+    raw = (
         pref.hint("shuffle_hash").join(
             inv,
             (pref["s"] == inv["s"])
@@ -406,8 +410,10 @@ def _containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
             & (F.col("isz_b") - F.col("pb") >= k_a),
         )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # Probe-key partition before the dedup: one exchange serves dedup
+    # AND the verify join (dedup._cluster_always rationale, r16).
+    return D._cluster_always(raw, n_sc, "id_a").dropDuplicates(["id_a", "id_b"])
 
 
 # --- wave 3: mixture construction + corpus shape ---------------------
@@ -938,7 +944,7 @@ def incremental_jaccard_pairs(
         "s",
     )
     alpha = D._alpha(F.col("sz_new"), F.col("sz_old"), threshold)
-    cands = (
+    raw = (
         # Pinned shuffle-hash with the (smaller, 10%-of-corpus) batch
         # prefix side as build: the batch here is NOT a trigger-bounded
         # micro-batch, so both exploded sides scale with the corpus —
@@ -954,8 +960,10 @@ def incremental_jaccard_pairs(
             & (F.col("sz_old") - F.col("po") >= alpha),
         )
         .select("id_new", "id_old")
-        .dropDuplicates(["id_new", "id_old"])
     )
+    # Probe-key partition before the dedup: one exchange serves dedup
+    # AND the verify join (dedup._cluster_always rationale, r16).
+    cands = D._cluster_always(raw, n_sc, "id_new").dropDuplicates(["id_new", "id_old"])
     a = sh.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_old"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     # Pinned shuffle-hash (build: narrow pairs, then the array side —
@@ -964,7 +972,7 @@ def incremental_jaccard_pairs(
     # 125× replica OOM class; dedup._verify_pairs_jaccard rationale),
     # clustered at the corpus-scaled count (the 250× no-spill wall).
     j = (
-        D._cluster(cands, n_sc, "id_new").hint("shuffle_hash")
+        cands.hint("shuffle_hash")
         .join(D._cluster(a, n_sc, "id_new"), "id_new")
         .join(D._cluster(b, n_sc, "id_old").hint("shuffle_hash"), "id_old")
     )
