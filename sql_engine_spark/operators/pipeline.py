@@ -127,13 +127,22 @@ def tfidf_top_terms(
     bits match any other engine. (A log-idf would hit libm differences
     between the JVM and C — the classic cross-engine float trap.)
 
-    Plan: explode → (doc,term) count [1 shuffle, map-side combined] →
-    term df [1 shuffle of (term, n) pairs] → df joined back on term →
-    N folded in as a broadcast 1-row cross join (never a driver
-    ``collect``) → per-doc row_number window [1 shuffle on doc].
+    Plan: explode → ONE deliberate term-keyed repartition that the
+    whole frequency pass shares (r16): hash(term) satisfies the tf
+    aggregation's ClusteredDistribution(doc_id, term), the df
+    aggregation's (term), and the tf⨝df join's (term), so the (doc,
+    term) count, the term document-frequency, and the join all sit
+    exchange-free on that one shuffle — the old shape shuffled the
+    token stream into tf once per plan BRANCH (tf and df each
+    recomputed it; 4 token-scale exchanges), now AQE materializes the
+    shared exchange once and reuses it. N folds in as a broadcast
+    1-row cross join (never a driver ``collect``); the per-doc
+    row_number window is the one remaining shuffle on doc.
     Deterministic tiebreak: (score DESC, term ASC).
     """
-    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(T.tokens(text_col)).alias("term"))
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(T.tokens(text_col)).alias("term")
+    ).repartition("term")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
