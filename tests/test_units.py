@@ -725,9 +725,11 @@ def test_prefix_order_default_is_df():
     from sql_engine_spark.operators import pipeline as P
 
     assert inspect.signature(D.ngram_jaccard_pairs).parameters["prefix_order"].default == "df"
-    # containment hardcodes the order: pin the call site.
+    # containment hardcodes the order: since r17 both join sides derive
+    # from the df-ordered index artifact directly (the prefix is a
+    # position filter over its posexplode), so pin THAT call.
     src = inspect.getsource(P._containment_candidates)
-    assert '"df"' in src
+    assert "ordered_shingle_index" in src
 
 
 def test_glob_backtick_does_not_arm_later_literal():

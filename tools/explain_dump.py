@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Dump ``.explain("formatted")`` for bench queries to plans/<tag>/.
+"""Dump ``.explain("formatted")`` for bench queries to a round dir.
 
-Usage: python tools/explain_dump.py <tag> [query ...]
-Writes plans/r16/<query>_<tag>.txt for each query (default: the full
-bench set). Pure plan compilation — no job runs, so the dump is cheap
-and the judge can diff before/after plan claims against these files.
+Usage: python tools/explain_dump.py <round_dir>/<tag> [query ...]
+e.g. ``python tools/explain_dump.py r17/before x34_tfidf_topterms``
+writes plans/r17/<query>_before.txt for each query (default: the full
+bench set). A bare ``<tag>`` with no slash writes to plans/<tag>/...
+Pure plan compilation — no job runs, so the dump is cheap and the
+judge can diff before/after plan claims against these files.
 """
 
 from __future__ import annotations
@@ -18,11 +20,13 @@ from bench import BENCH_QUERIES  # noqa: E402
 
 
 def main() -> None:
-    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    arg = sys.argv[1] if len(sys.argv) > 1 else "before"
+    round_dir, _, tag = arg.rpartition("/")
     names = sys.argv[2:] or BENCH_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(repo, "plans", round_dir) if round_dir else os.path.join(
+        repo, "plans", tag
     )
     os.makedirs(out_dir, exist_ok=True)
 
