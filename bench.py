@@ -543,6 +543,78 @@ def _skew_probe(spark, sf_dir: str) -> dict:
     return probe
 
 
+def _pair_skew_probe(spark, sf_dir: str) -> dict:
+    """Pair-key (probe-key) skew probe (VERDICT r16 #4): since r16
+    every dedup-family candidate producer ships its RAW candidate
+    pairs across ONE hash(id_a) exchange (dedup._cluster_always), so
+    a "hub" document with a large near-dup set concentrates its pairs
+    on one partition. The hazard is bounded by construction — key
+    id_a=h carries at most one pair per partner, never the quadratic
+    clique total (pairs (a,b) with a<b spread id_a across all clique
+    members) — but the bound is data-dependent, so measure it: x02 on
+    a 5×-replicated corpus (mutually non-duplicate replicas, the
+    _scale_probe recipe), uniform vs the same corpus with a planted
+    500-doc identical clique (124,750 true pairs, triangular id_a
+    distribution — the worst planted hub this corpus admits).
+    Reported per variant: min-of-2 seconds + clique/uniform ratio.
+    NOTE the ratio also prices ~125k extra TRUE pairs the uniform
+    corpus lacks (candidate join, verify, dedup all grow), so it is
+    an UPPER bound on the partition-skew cost, not a pure skew
+    reading; the standing line is the skewed-source family's ≤2×."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.catalog import load_table
+    from sql_engine_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * 100_000_000)).alias("doc_id"),
+            (
+                F.regexp_replace("text", r"(\S+)", f"$1{k}") if k else F.col("text")
+            ).alias("text"),
+        )
+        for k in range(5)
+    ]
+    rep = reps[0]
+    for r in reps[1:]:
+        rep = rep.unionByName(r)
+    hub_text = " ".join(f"hubtok{i}" for i in range(60))
+    variants = {
+        "uniform": rep,
+        "hub": rep.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 50 == 7, F.lit(hub_text))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ),
+    }
+    base = tempfile.mkdtemp(prefix="sql_engine_pair_skew_")
+    block: dict = {}
+    try:
+        for label, df in variants.items():
+            path = os.path.join(base, label)
+            df.write.mode("overwrite").parquet(path)
+            frame = spark.read.parquet(path)
+            runs = []
+            for _ in range(2):
+                from sql_engine_spark.operators.dedup import clear_shingle_index
+
+                clear_shingle_index()
+                t0 = time.perf_counter()
+                _noop(D.ngram_jaccard_pairs(frame))
+                runs.append(time.perf_counter() - t0)
+            block[label] = round(min(runs), 3)
+        block["ratio"] = round(block["hub"] / max(block["uniform"], 1e-9), 2)
+        print(f"# pair_skew_probe: {block}", file=sys.stderr)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return block
+
+
 def _measure(spark, sf_dir: str, n_runs: int):
     """One full measured pass over BENCH_QUERIES, with the contention
     canary sampled at start / midpoint / end. Returns (timings, spread,
@@ -670,6 +742,7 @@ def main() -> None:
     )
     if scale_probe:
         scale_probe["skewed_source"] = _skew_probe(spark, sf_dir)
+        scale_probe["pair_hub"] = _pair_skew_probe(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -172,6 +172,31 @@ def test_window_frames_share_one_window_operator(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_pair_dedup_shares_probe_key_exchange(spark, sf_dir):
+    """The r16 probe-key contract, pinned (ADVICE r16): every
+    dedup-family candidate producer repartitions its RAW pairs on the
+    probe key (dedup._cluster_always), so the pair dedup and the
+    verify join plan WITHOUT an ENSURE_REQUIREMENTS exchange on the
+    full pair key. A hashpartitioning(id_a, id_b) exchange reappearing
+    in any of these plans means a caller stopped pre-partitioning and
+    Spark silently re-inserted the shuffle this family removed —
+    perf-only, invisible to correctness tests, caught here."""
+    keys = {
+        "x02_dedup_ngram_jaccard": ("id_a#", "id_b#"),
+        "x04_dedup_minhash_lsh": ("id_a#", "id_b#"),
+        "x38_containment": ("id_a#", "id_b#"),
+        "x54_incremental_dedup": ("id_new#", "id_old#"),
+    }
+    for q, (ka, kb) in keys.items():
+        plan = _formatted(matrix.QUERIES[q](spark, sf_dir))
+        offenders = [
+            ln
+            for ln in plan.splitlines()
+            if "hashpartitioning(" in ln and ka in ln and kb in ln
+        ]
+        assert not offenders, (q, offenders)
+
+
 def test_stratified_sample_single_shuffle(spark, sf_dir):
     """x28: rank + per-stratum count reuse one hashpartitioning(lang)
     exchange; the filter happens post-window with no extra shuffle."""
